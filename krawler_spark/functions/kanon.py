@@ -1,0 +1,394 @@
+"""URL canonicalization — byte-compatible with the reference parser.
+
+Reference semantics: ``http/KrawlUrl.kt:66-291`` (single-pass parse +
+normalize state machine), quirks included:
+
+* space anywhere before the path portion ⇒ invalid URL
+  (``KrawlUrl.kt:98-100``); spaces inside the path become ``%20``
+  (``:203-207``).
+* scheme must be http/https; ``mailto javascript tel file data irc ftp``
+  are blacklisted ⇒ invalid; any other scheme token aborts scheme
+  detection and the whole string is treated as a relative path
+  (``:103-118``).
+* a run of slashes after ``scheme:`` collapses to exactly two
+  (``:121-131``).
+* ``//host`` with a parent inherits the parent scheme (``:156-159``) —
+  and, faithfully to the reference, captures ``"/"`` as the host.
+* host is lowercased and an embedded ``:port`` is stripped
+  (``:163-166``) — but only when a ``/`` terminates the host; a
+  hostless-path absolute URL keeps raw case (``:186-188``).
+* default ports: http→80, https→443 (``:274-277``).
+* unreserved %-octets (ALPHA / DIGIT / ``- . _ ~``) are decoded, all
+  other %-octets are uppercased (``:209-245``) — the uppercase branch
+  compares against the *raw url* length, not the path length
+  (``:238``), a reference quirk preserved here.
+* ``/./`` drops two chars, ``/..`` drops three chars *without*
+  removing the preceding segment (``:247-267``).
+* no host and no scheme ⇒ host from parent, path gets a leading slash
+  (``:189-195``).
+* ``rel=canonical`` anchors keep their raw URL as the canonical form
+  (``:317-320``).
+
+Public-suffix split per ``KrawlUrl.kt:300-310`` (Guava
+InternetDomainName): ``suffix`` is the public suffix, ``domain`` is
+``host.replace("."+suffix, "").split(".")[-1] + "." + suffix``, and
+``subdomain`` is ``host.replace("."+domain, "")`` — including the
+degenerate all-dots-removed behavior when the suffix is unknown.
+
+Spark integration: everything here is plain Python over strings; the
+pandas/Arrow vectorized wrappers live at the bottom (`canonicalize_udf`
+etc.) so the engine never runs per-row Python at the Spark layer —
+batches arrive as Arrow arrays and are mapped with pandas.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+__all__ = [
+    "ParsedUrl",
+    "INVALID",
+    "parse_url",
+    "canonical_form",
+    "split_domain",
+    "canonicalize_series",
+    "parse_struct_frame",
+]
+
+# Unreserved octets that get %-decoded: ALPHA / DIGIT / - . _ ~
+_UNRESERVED = frozenset(
+    list(range(0x41, 0x5B)) + list(range(0x61, 0x7B)) + list(range(0x30, 0x3A))
+    + [0x2D, 0x2E, 0x5F, 0x7E]
+)
+
+_SCHEME_BLACKLIST = frozenset({"mailto", "javascript", "tel", "file", "data", "irc", "ftp"})
+_SCHEME_RE = re.compile(r"[A-Za-z][\w+\-.]*\Z")
+_HEX2_RE = re.compile(r"[0-9a-fA-F]{2}\Z")
+_PORT_IN_HOST_RE = re.compile(r":[0-9]+")
+
+
+@dataclass(frozen=True)
+class ParsedUrl:
+    raw_url: str
+    is_absolute: bool = False
+    scheme: str = "http"
+    host: str = ""
+    port: int = 0
+    path: str = ""
+    anchor_text: Optional[str] = None
+    anchor_attrs: Optional[dict] = None
+    from_anchor: bool = False
+
+    @property
+    def normal_form(self) -> str:
+        # KrawlUrl.kt:294
+        if self.host + self.path == "":
+            return ""
+        return f"{self.scheme}://{self.host}{self.path}"
+
+    @property
+    def hierarchical_part(self) -> str:
+        # KrawlUrl.kt:296
+        return f"{self.scheme}://{self.host}"
+
+    @property
+    def canonical(self) -> str:
+        # KrawlUrl.kt:317-320 — rel=canonical anchors pass through raw.
+        if (
+            self.anchor_attrs is not None
+            and self.anchor_attrs.get("rel") == "canonical"
+        ):
+            return self.raw_url
+        return self.normal_form
+
+    @property
+    def is_valid(self) -> bool:
+        return self is not INVALID and not (self.raw_url == "" and self.host == "")
+
+
+# The reference's InvalidKrawlUrl is KrawlUrl.new("", null): empty raw,
+# host from absent parent = "", path "/" per the no-host no-absolute arm.
+INVALID = ParsedUrl(raw_url="", is_absolute=False, scheme="http", host="", port=80, path="/")
+
+
+def parse_url(
+    url: str,
+    parent: Optional[ParsedUrl] = None,
+    *,
+    from_anchor: bool = False,
+    anchor_text: Optional[str] = None,
+    anchor_attrs: Optional[dict] = None,
+) -> ParsedUrl:
+    """Single-pass parse + normalize; mirrors KrawlUrl.kt:66-291."""
+    host = ""
+    port = 0
+    path = url
+    scheme = "http"
+    is_absolute = False
+
+    n = len(url)
+    idx = 0
+    host_start = 0
+    non_host_slash_seen = False
+    host_found = False
+    first_colon_found = False
+
+    # --- pass 1: scheme / host / port ------------------------------------
+    while idx < n:
+        c = url[idx]
+
+        if c == " ":
+            return INVALID
+
+        if c == ":":
+            if not non_host_slash_seen and not first_colon_found:
+                first_colon_found = True
+                slice_ = url[:idx].lower()
+                if _SCHEME_RE.match(slice_) and slice_ in ("http", "https"):
+                    scheme = slice_
+                elif slice_ in _SCHEME_BLACKLIST:
+                    return INVALID
+                else:
+                    break  # unknown scheme token → whole string is a path
+
+                if idx + 2 < n and url[idx + 1] == "/" and url[idx + 2] == "/":
+                    is_absolute = True
+                    k = 3
+                    while idx + k < n and url[idx + k] == "/":
+                        k += 1
+                    idx += k
+                    host_start = idx
+                    continue
+            if not non_host_slash_seen and not host_found and first_colon_found:
+                # port digits after the colon
+                k = 1
+                while idx + k < n and url[idx + k].isdigit():
+                    k += 1
+                digits = url[idx + 1 : idx + k]
+                if digits.strip():
+                    port = int(digits)
+                idx += k
+                continue
+
+        if c == "/":
+            if idx == 1 and url[0] == "/" and parent is not None:
+                scheme = parent.scheme
+                is_absolute = True
+            if is_absolute:
+                host = _PORT_IN_HOST_RE.sub("", url[host_start:idx].lower())
+                host_found = True
+                path = url[idx:]
+                break
+            non_host_slash_seen = True
+
+        idx += 1
+
+    if not host_found and is_absolute:
+        # hostless-path absolute URL: raw-case host, no port strip (:186-188)
+        host = url[host_start:]
+        path = "/"
+    elif not host_found and not is_absolute:
+        host = parent.host if parent is not None else ""
+        if not path.startswith("/"):
+            path = "/" + path
+
+    # --- pass 2: path normalization ---------------------------------------
+    idx = 0
+    while idx < len(path):
+        c = path[idx]
+
+        if c == " ":
+            path = path[:idx] + "%20" + path[idx + 1 :]
+            idx += 3
+            continue
+
+        if c == "%":
+            if idx + 1 >= len(path):
+                idx += 1
+                continue
+            if idx + 2 >= len(path):
+                idx += 2
+                continue
+            next_two = path[idx + 1 : idx + 3]
+            if _HEX2_RE.match(next_two):
+                octet = int(next_two, 16)
+                if octet in _UNRESERVED:
+                    if idx + 3 < len(path):
+                        path = path[:idx] + chr(octet) + path[idx + 3 :]
+                    else:
+                        path = path[:idx] + chr(octet)
+                    idx += 1
+                    continue
+            # uppercase the octet; bound vs *raw url* length (reference :238)
+            if idx + 3 < n:
+                path = path[: idx + 1] + next_two.upper() + path[idx + 3 :]
+            else:
+                path = path[: idx + 1] + next_two.upper()
+            idx += 3
+            continue
+
+        if c == "/":
+            nxt = (path[idx + 1] if idx + 1 < len(path) else " ") + (
+                path[idx + 2] if idx + 2 < len(path) else " "
+            )
+            if nxt == "./":
+                path = path[:idx] + path[idx + 2 :]
+                continue
+            if nxt == "..":
+                if idx + 3 < len(path):
+                    path = path[:idx] + path[idx + 3 :]
+                else:
+                    path = path[:idx]
+                continue
+
+        idx += 1
+
+    if port == 0:
+        if scheme == "http":
+            port = 80
+        elif scheme == "https":
+            port = 443
+
+    return ParsedUrl(
+        raw_url=url,
+        is_absolute=is_absolute,
+        scheme=scheme,
+        host=host,
+        port=port,
+        path=path,
+        anchor_text=anchor_text,
+        anchor_attrs=anchor_attrs,
+        from_anchor=from_anchor,
+    )
+
+
+def canonical_form(url: str, parent_url: Optional[str] = None) -> str:
+    """Canonical form of ``url`` resolved against ``parent_url``."""
+    parent = parse_url(parent_url) if parent_url else None
+    return parse_url(url, parent).canonical
+
+
+# ---------------------------------------------------------------------------
+# Public-suffix split (KrawlUrl.kt:298-310). Embedded snapshot of the common
+# entries of the publicsuffix.org list; vendored for determinism (no network,
+# no external package). Multi-label suffixes checked longest-first, matching
+# Guava's longest-match behavior for these entries.
+# ---------------------------------------------------------------------------
+
+_PSL_MULTI = frozenset({
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.nz", "net.nz", "org.nz",
+    "co.za", "org.za", "web.za",
+    "com.mx", "org.mx", "gob.mx",
+    "com.sg", "org.sg", "edu.sg",
+    "co.kr", "or.kr", "go.kr",
+})
+_PSL_SINGLE = frozenset({
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz", "name",
+    "io", "co", "ai", "app", "dev", "me", "tv", "cc", "xyz", "site", "online",
+    "us", "uk", "de", "fr", "it", "es", "nl", "be", "ch", "at", "se", "no",
+    "dk", "fi", "pl", "cz", "ru", "ua", "jp", "cn", "kr", "in", "au", "nz",
+    "br", "mx", "ar", "ca", "za", "ie", "pt", "gr", "tr", "il", "sa", "ae",
+    "sg", "hk", "tw", "th", "vn", "id", "my", "ph", "eu", "asia", "mobi",
+    "pro", "museum", "aero", "coop", "jobs", "travel", "cat", "tel", "post",
+})
+
+
+def public_suffix(host: str) -> str:
+    """Longest public suffix of host, or "" when none matches (Guava:
+    hasPublicSuffix() false → reference uses empty string)."""
+    if not host or host.startswith(".") or host.endswith("."):
+        return ""
+    labels = host.lower().split(".")
+    if len(labels) >= 3:
+        two = ".".join(labels[-2:])
+        if two in _PSL_MULTI:
+            return two
+    if len(labels) >= 2 and labels[-1] in _PSL_SINGLE:
+        return labels[-1]
+    return ""
+
+
+def split_domain(host: str) -> tuple[str, str, str]:
+    """(suffix, domain, subdomain) per KrawlUrl.kt:308-310, quirks intact:
+    ``replace`` removes *all* occurrences, and an unknown suffix degrades
+    to the reference's dot-stripping behavior."""
+    suffix = public_suffix(host)
+    domain = host.replace("." + suffix, "").split(".")[-1] + "." + suffix
+    subdomain = host.replace("." + domain, "")
+    return suffix, domain, subdomain
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized wrappers (pandas in, pandas out). These are the only
+# entry points the Spark engine uses — `mapInPandas`/`pandas_udf` hand us
+# Arrow record batches and we map the compiled parser over them.
+# ---------------------------------------------------------------------------
+
+def canonicalize_series(urls, parent_urls=None):
+    """pd.Series[str] (+ optional parents) → pd.Series[str] canonical forms."""
+    import pandas as pd
+
+    if parent_urls is None:
+        return urls.map(lambda u: parse_url(u).canonical if isinstance(u, str) else None)
+
+    parent_cache: dict = {}
+
+    def _canon(u, p):
+        if not isinstance(u, str):
+            return None
+        par = None
+        if isinstance(p, str) and p:
+            par = parent_cache.get(p)
+            if par is None:
+                par = parse_url(p)
+                parent_cache[p] = par
+        return parse_url(u, par).canonical
+
+    return pd.Series(
+        [_canon(u, p) for u, p in zip(urls, parent_urls)], index=urls.index, dtype="object"
+    )
+
+
+def parse_struct_frame(urls, parent_urls=None):
+    """pd.Series[str] → pd.DataFrame(canonical, scheme, host, port, path,
+    domain, subdomain, suffix, valid) — the engine's url-parse stage."""
+    import pandas as pd
+
+    parent_cache: dict = {}
+    rows = []
+    if parent_urls is None:
+        parent_urls = pd.Series([None] * len(urls), index=urls.index)
+    for u, p in zip(urls, parent_urls):
+        if not isinstance(u, str):
+            rows.append((None, None, None, None, None, None, None, None, False))
+            continue
+        par = None
+        if isinstance(p, str) and p:
+            par = parent_cache.get(p)
+            if par is None:
+                par = parse_url(p)
+                parent_cache[p] = par
+        pu = parse_url(u, par)
+        if pu is INVALID:
+            rows.append((None, None, None, None, None, None, None, None, False))
+            continue
+        suffix, domain, subdomain = split_domain(pu.host)
+        rows.append(
+            (pu.canonical, pu.scheme, pu.host, pu.port, pu.path, domain, subdomain, suffix, True)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "canonical", "scheme", "host", "port", "path",
+            "domain", "subdomain", "suffix", "valid",
+        ],
+        index=urls.index,
+    )

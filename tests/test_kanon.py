@@ -1,0 +1,154 @@
+"""Ported canonicalization goldens from the reference unit suite
+(KrawlUrlTest.kt:36-163). Pure-Python — no Spark session needed."""
+
+from krawler_spark.functions.kanon import (
+    INVALID,
+    canonical_form,
+    canonicalize_series,
+    parse_struct_frame,
+    parse_url,
+    split_domain,
+)
+
+RAW = "HTTP://www.xyz.ABC.com:80/../%7Ezyxzzy/./abc%3a"
+
+
+def test_spaces_in_urls():  # KrawlUrlTest.kt:40-44
+    assert canonical_form("http://www.google.com/a bc.html") == "http://www.google.com/a%20bc.html"
+    assert parse_url("tel:867 5309") is INVALID
+
+
+def test_hierarchical_part():  # :46-48
+    assert parse_url(RAW).hierarchical_part == "http://www.xyz.abc.com"
+
+
+def test_cleans_excessive_scheme_slashes():  # :50-53
+    assert canonical_form("http:////////testexample.com") == "http://testexample.com/"
+
+
+def test_infer_scheme():  # :56-61
+    parent = parse_url("https://somesafesite.com")
+    assert parse_url("//something.org", parent).scheme == "https"
+
+
+def test_parent_host_doesnt_cause_double_slashes():  # :66-70
+    parent = parse_url("http://www.example.org/")
+    assert parse_url("foo:bar:bas", parent).canonical == "http://www.example.org/foo:bar:bas"
+
+
+def test_port():  # :72
+    assert parse_url(RAW).port == 80
+
+
+def test_relative_url_with_two_colons():  # :74-78
+    u = parse_url("/wiki/foo:bar:bas")
+    assert u.scheme == "http"
+    assert u.path == "/wiki/foo:bar:bas"
+
+
+def test_absolute_with_two_colons_and_no_port():  # :80-85
+    u = parse_url("http://www.example.org/foo:bar:bas")
+    assert u.scheme == "http"
+    assert u.port == 80
+    assert u.path == "/foo:bar:bas"
+
+
+def test_url_with_no_path():  # :87-93
+    u = parse_url("http://www.example.org")
+    assert u.host == "www.example.org"
+    assert u.path == "/"
+    suffix, domain, subdomain = split_domain(u.host)
+    assert domain == "example.org"
+    assert subdomain == "www"
+
+
+def test_url_with_no_host():  # :95-115
+    testurl = parse_url(RAW)
+    no_host = parse_url("/relative/path", testurl)
+    no_host2 = parse_url("relative/path", testurl)
+    rel_colon = parse_url("some/directory/Something:SomethingElse", testurl)
+
+    assert no_host.canonical == "http://www.xyz.abc.com/relative/path"
+    assert no_host.host == "www.xyz.abc.com"
+    assert split_domain(no_host.host)[1] == "abc.com"
+    assert no_host.path == "/relative/path"
+
+    assert no_host2.canonical == "http://www.xyz.abc.com/relative/path"
+    assert no_host2.path == "/relative/path"
+
+    assert rel_colon.scheme == "http"
+    assert rel_colon.host == "www.xyz.abc.com"
+    assert rel_colon.path == "/some/directory/Something:SomethingElse"
+
+
+def test_raw_url():  # :117
+    assert parse_url(RAW).raw_url == RAW
+
+
+def test_canonical_form():  # :119-125
+    assert parse_url(RAW).canonical == "http://www.xyz.abc.com/~zyxzzy/abc%3A"
+    # rel=canonical anchor keeps rawUrl
+    anchor = parse_url(
+        "http://www.google.com/./zxyzzy",
+        anchor_attrs={"href": "http://www.google.com/./zxyzzy", "rel": "canonical", "target": "blank"},
+        anchor_text="Anchor Text",
+        from_anchor=True,
+    )
+    assert anchor.canonical == "http://www.google.com/./zxyzzy"
+    assert anchor.anchor_text == "Anchor Text"
+    assert anchor.from_anchor
+
+
+def test_normal_form():  # :128-137
+    u = parse_url(RAW)
+    assert u.normal_form == "http://www.xyz.abc.com/~zyxzzy/abc%3A"
+    assert u.scheme == u.scheme.lower()
+    assert u.host == u.host.lower()
+    assert "///..//" not in u.normal_form
+
+
+def test_scheme_suffix_domain_subdomain_path_host():  # :139-149
+    u = parse_url(RAW)
+    assert u.scheme == "http"
+    suffix, domain, subdomain = split_domain(u.host)
+    assert suffix == "com"
+    assert domain == "abc.com"
+    assert subdomain == "www.xyz"
+    assert u.path == "/~zyxzzy/abc%3A"
+    assert u.host == "www.xyz.abc.com"
+
+
+def test_invalid_url_canonical_is_sentinel():
+    # InvalidKrawlUrl ≡ KrawlUrl.new("", null) → normalForm "http:///"
+    assert INVALID.canonical == "http:///"
+    # equality in the reference is canonicalForm equality (KrawlUrl.kt:324-332)
+    assert parse_url("javascript:void(0)").canonical == "http:///"
+
+
+def test_blacklist_schemes():
+    for s in ("mailto:a@b.com", "javascript:void(0)", "tel:5551212", "ftp://x.com/f"):
+        assert parse_url(s) is INVALID
+
+
+def test_multi_label_suffix():
+    suffix, domain, subdomain = split_domain("news.bbc.co.uk")
+    assert suffix == "co.uk"
+    assert domain == "bbc.co.uk"
+    assert subdomain == "news"
+
+
+def test_vectorized_wrappers_match_scalar():
+    import pandas as pd
+
+    urls = pd.Series([RAW, "http://www.google.com/a bc.html", "relative/path", None])
+    parents = pd.Series([None, None, RAW, None])
+    out = canonicalize_series(urls, parents)
+    assert out[0] == "http://www.xyz.abc.com/~zyxzzy/abc%3A"
+    assert out[1] == "http://www.google.com/a%20bc.html"
+    assert out[2] == "http://www.xyz.abc.com/relative/path"
+    assert out[3] is None
+
+    frame = parse_struct_frame(urls, parents)
+    assert frame.loc[0, "host"] == "www.xyz.abc.com"
+    assert frame.loc[0, "domain"] == "abc.com"
+    assert bool(frame.loc[2, "valid"])
