@@ -1,0 +1,217 @@
+"""HTML link + text extraction — the engine's harvest stage.
+
+Reference behavior being matched:
+
+* ``http/KrawlDocument.kt:77-81`` — ``anchorTags``: every ``<a>``
+  element carrying an ``href`` attribute, in document order.
+* ``http/KrawlDocument.kt:86-89`` — ``otherOutgoingLinks``: the ``src``
+  attribute value of *every* element that has one, in document order.
+* ``crawler/Krawler.kt:460-481`` — harvest filters: anchors drop
+  ``#``-prefixed and >2048-char hrefs and invalid/blank canonical
+  forms; src links drop only ``#``-prefixed and >2048-char values (no
+  validity filter — a reference quirk kept intact); children are
+  enqueued at ``depth+1``.
+* anchor attribute keys are lowercased (``http/KrawlUrl.kt:62``);
+  boolean attributes get ``""`` values (Jsoup behavior).
+
+Extraction runs as pure Python over one HTML string; the Spark layer
+always calls the pandas batch wrappers at the bottom (Arrow batches in,
+pandas out — no per-row Python at the JVM boundary).
+
+Text extraction contract: whitespace-normalized visible text
+(script/style/template excluded, entities unescaped, tokens joined by
+single spaces). The synthetic corpus stores this exact string in
+``pages.text``, making the byte-identical-per-url invariant testable.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+
+from .kanon import parse_url
+
+__all__ = [
+    "Link",
+    "extract_links",
+    "extract_text",
+    "harvest_links",
+    "extract_links_frame",
+    "extract_text_series",
+]
+
+_SKIP_TEXT_TAGS = frozenset({"script", "style", "template"})
+
+# Tags rendered as block-level: Jsoup inserts whitespace between their
+# text runs; with our normalize-then-join contract any whitespace
+# collapses to a single space, so emitting a separator token suffices.
+_VOID_TAGS = frozenset({
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+})
+
+
+class Link:
+    __slots__ = ("href", "text", "attrs", "kind")
+
+    def __init__(self, href: str, text: Optional[str], attrs: Optional[dict], kind: str):
+        self.href = href
+        self.text = text
+        self.attrs = attrs
+        self.kind = kind
+
+    def __repr__(self):  # pragma: no cover
+        return f"Link({self.kind}:{self.href!r})"
+
+
+class _Extractor(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.anchors: List[Link] = []
+        self.srcs: List[str] = []
+        self.text_parts: List[str] = []
+        self._skip_depth = 0
+        # stack of (attrs, text_parts) for open <a> elements
+        self._open_anchors: List[Tuple[dict, List[str]]] = []
+
+    # -- helpers -----------------------------------------------------------
+    @staticmethod
+    def _attr_dict(attrs) -> dict:
+        out = {}
+        for k, v in attrs:
+            k = k.lower()
+            if k not in out:  # first occurrence wins, like Jsoup
+                out[k] = v if v is not None else ""
+        return out
+
+    def _handle_tag_open(self, tag, attrs):
+        ad = self._attr_dict(attrs)
+        if "src" in ad:
+            self.srcs.append(ad["src"])
+        if tag == "a":
+            if "href" in ad:
+                self._open_anchors.append((ad, []))
+            else:
+                self._open_anchors.append((None, []))  # track for close matching
+        if tag in _SKIP_TEXT_TAGS:
+            self._skip_depth += 1
+
+    # -- HTMLParser hooks ---------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        self._handle_tag_open(tag, attrs)
+
+    def handle_startendtag(self, tag, attrs):
+        ad = self._attr_dict(attrs)
+        if "src" in ad:
+            self.srcs.append(ad["src"])
+        if tag == "a" and "href" in ad:
+            self.anchors.append(Link(ad["href"], "", ad, "anchor"))
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TEXT_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+        if tag == "a" and self._open_anchors:
+            ad, parts = self._open_anchors.pop()
+            if ad is not None:
+                text = " ".join(" ".join(parts).split())
+                self.anchors.append(Link(ad["href"], text, ad, "anchor"))
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if data:
+            self.text_parts.append(data)
+            for _, parts in self._open_anchors:
+                parts.append(data)
+
+    def close(self):
+        super().close()
+        # unclosed <a> elements still count (parser-repair behavior)
+        while self._open_anchors:
+            ad, parts = self._open_anchors.pop()
+            if ad is not None:
+                text = " ".join(" ".join(parts).split())
+                self.anchors.append(Link(ad["href"], text, ad, "anchor"))
+
+
+def _parse_html(html) -> _Extractor:
+    if html is None:
+        html = ""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    ex = _Extractor()
+    ex.feed(html)
+    ex.close()
+    return ex
+
+
+def extract_links(html) -> List[Link]:
+    """All outgoing links of a page: anchors (with text + attrs) in
+    document order followed by src links, mirroring the harvest order of
+    ``Krawler.kt:460-481``."""
+    ex = _parse_html(html)
+    return ex.anchors + [Link(s, None, None, "src") for s in ex.srcs]
+
+
+def extract_text(html) -> str:
+    """Whitespace-normalized visible text of a page."""
+    ex = _parse_html(html)
+    return " ".join(" ".join(ex.text_parts).split())
+
+
+def harvest_links(html, page_url: str) -> List[dict]:
+    """Harvest-stage output for one page: canonicalized out-links after
+    the reference's filters (Krawler.kt:460-481). Redirect handling and
+    depth/priority assignment happen in the engine, which owns those
+    columns."""
+    page = parse_url(page_url)
+    out: List[dict] = []
+    for link in extract_links(html):
+        href = link.href
+        if href.startswith("#") or len(href) > 2048:
+            continue
+        child = parse_url(
+            href, page,
+            from_anchor=(link.kind == "anchor"),
+            anchor_text=link.text,
+            anchor_attrs=link.attrs,
+        )
+        canonical = child.canonical
+        if link.kind == "anchor":
+            # anchors: validity + non-blank canonical filter (:467)
+            if canonical == "http:///" or not canonical.strip():
+                continue
+        out.append(
+            {
+                "out_url": canonical,
+                "kind": link.kind,
+                "anchor_text": link.text,
+                "host": child.host,
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized batch wrappers
+# ---------------------------------------------------------------------------
+
+def extract_links_frame(urls, htmls):
+    """pd.Series[url], pd.Series[html] → pd.DataFrame(url, out_url, kind,
+    anchor_text, host) — one row per harvested link (pre-exploded)."""
+    import pandas as pd
+
+    rows = []
+    for u, h in zip(urls, htmls):
+        if not isinstance(u, str):
+            continue
+        for d in harvest_links(h, u):
+            rows.append((u, d["out_url"], d["kind"], d["anchor_text"], d["host"]))
+    return pd.DataFrame(rows, columns=["url", "out_url", "kind", "anchor_text", "host"])
+
+
+def extract_text_series(htmls):
+    """pd.Series[html(binary|str)] → pd.Series[str] extracted text."""
+    import pandas as pd
+
+    return pd.Series([extract_text(h) for h in htmls], index=htmls.index, dtype="object")
