@@ -1,38 +1,571 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl over a corpus derived from the
+sf0.001 documents table. ``queries()`` exposes every implemented
+operator (crawl kernels from SURVEY.md §2 + the training-data pipeline
+ops) as (spark, sf_dir) callables; ``oracle_sql()`` gives the DuckDB
+equivalent for all SQL-expressible ones. Column names/aliases match
+pairwise; hashes are md5-derived so both engines agree bit-for-bit;
+float outputs are floored at 1e-4 so cross-engine FP noise can't flip
+the driver's value hash.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from krawler_spark.operators import textops as T
 
 
+# --------------------------------------------------------------------- inputs
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+# A deterministic URL frontier derived from the documents table — the
+# relational stand-in for the crawl queue (FIXTURES.md §5). The SQL CTE
+# below is its oracle twin; both must stay in lockstep.
+_FRONTIER_CTE = """
+WITH frontier AS (
+  SELECT 'http://www.host-' || (doc_id % 7) || '.com/doc/' || doc_id AS url,
+         'www.host-' || (doc_id % 7) || '.com' AS host,
+         doc_id % 3 AS priority,
+         doc_id % 5 AS depth,
+         doc_id % 4 AS enq_round,
+         doc_id AS seq
+  FROM documents
+)
+"""
+
+
+# Oracle-twin CTEs for the shingle/minhash/embedding operators. These
+# mirror krawler_spark.operators.textops exactly: same word split, same
+# n=3 shingling (slice semantics included), same salted-md5 hash.
+_SHINGLES_CTE = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents WHERE {filt}),
+sh AS (
+  SELECT doc_id, ws,
+         list_distinct(list_transform(
+           range(greatest(len(ws) - 3, 0) + 1),
+           i -> array_to_string(ws[i+1 : i+3], ' '))) AS shingles
+  FROM words)
+"""
+
+_EMB_BASE = """
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
+
+def _mh_sql(i: int) -> str:
+    return (
+        "list_aggregate(list_transform(shingles, "
+        f"s -> (('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT)), 'min')"
+    )
+
+
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h = (F.col("doc_id") % 7).cast("string")
+    return d.select(
+        F.concat(F.lit("http://www.host-"), h, F.lit(".com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("www.host-"), h, F.lit(".com")).alias("host"),
+        (F.col("doc_id") % 3).alias("priority"),
+        (F.col("doc_id") % 5).alias("depth"),
+        (F.col("doc_id") % 4).alias("enq_round"),
+        F.col("doc_id").alias("seq"),
+    )
+
+
+# ------------------------------------------------------------------ crawl ops
+def q_seed_injection(spark, sf_dir):
+    """O1: root_page_id assignment in seed order (Krawler.kt:245-253)."""
+    hosts = _frontier(spark, sf_dir).select("host").distinct()
+    w = Window.orderBy("host")
+    return hosts.select(
+        F.col("host").alias("url_seed"),
+        (F.row_number().over(w) - 1).cast("long").alias("root_page_id"),
+    )
+
+
+def q_urlseen_antijoin(spark, sf_dir):
+    """O9: URL-seen dedup as a left-anti join (History/Dao.kt:80-86)."""
+    f = _frontier(spark, sf_dir)
+    seen = f.filter(F.col("seq") % 2 == 0).select("url")
+    return f.join(seen, "url", "left_anti").select("url", "host", "priority", "depth")
+
+
+def q_inbatch_dedup(spark, sf_dir):
+    """O9 in-batch variant: first pop wins per url-group."""
+    f = _frontier(spark, sf_dir).withColumn("url_key", F.col("seq") % 97)
+    w = Window.partitionBy("url_key").orderBy("priority", "enq_round", "seq")
+    return (
+        f.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("url_key", "url", "priority", "seq")
+    )
+
+
+def q_politeness_topk(spark, sf_dir):
+    """O6+O12: per-host admission rank ≤ budget (ScheduledQueue pop +
+    politeness delay as a per-round budget)."""
+    f = _frontier(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy("priority", "enq_round", "seq")
+    return (
+        f.withColumn("ph_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("ph_rank") <= 5)
+        .select("host", "url", "priority", "ph_rank")
+    )
+
+
+def q_depth_filter(spark, sf_dir):
+    """O8: max-depth cutoff (Krawler.kt:364-367)."""
+    return _frontier(spark, sf_dir).filter(F.col("depth") < 3).select("url", "depth")
+
+
+def q_priority_pop(spark, sf_dir):
+    """O6: global min-priority pop order, first 100 (Dao.kt:71-90)."""
+    f = _frontier(spark, sf_dir)
+    return f.orderBy("priority", "seq").limit(100).select("url", "priority", "seq")
+
+
+def q_host_budget_agg(spark, sf_dir):
+    """Per-host round metrics (budget accounting)."""
+    return (
+        _frontier(spark, sf_dir)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("priority").alias("min_priority"),
+            F.max("depth").alias("max_depth"),
+        )
+    )
+
+
+def q_link_explode(spark, sf_dir):
+    """O15: link harvesting as explode over extracted tokens."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+
+
+def q_robots_segment_gate(spark, sf_dir):
+    """O11: segment-equality robots rule (RoboMinder.kt:55-68) —
+    '/blocked' blocks '/blocked/...' but not '/blockedpage'."""
+    f = _frontier(spark, sf_dir).withColumn(
+        "path",
+        F.when(F.col("seq") % 5 == 0,
+               F.concat(F.lit("/blocked/"), F.col("seq").cast("string")))
+        .when(F.col("seq") % 5 == 1,
+              F.concat(F.lit("/blockedpage/"), F.col("seq").cast("string")))
+        .otherwise(F.concat(F.lit("/p/"), F.col("seq").cast("string"))),
+    )
+    segments = F.transform(F.split(F.col("path"), "/"), lambda x: F.concat(F.lit("/"), x))
+    return f.withColumn("allowed", ~F.array_contains(segments, "/blocked")).select(
+        "url", "path", "allowed"
+    )
+
+
+def q_redirect_requeue(spark, sf_dir):
+    """O14: redirect rows re-enter the frontier at the SAME depth."""
+    f = _frontier(spark, sf_dir)
+    redirects = f.filter(F.col("seq") % 11 == 0).select(
+        F.concat(F.col("url"), F.lit("/moved")).alias("url"),
+        "host", "priority", "depth", "enq_round", "seq",
+    )
+    return f.unionByName(redirects).select("url", "depth", "priority")
+
+
+def q_frontier_age_delete(spark, sf_dir):
+    """O19/O20: delete-by-age (keep enq_round >= 2)."""
+    return _frontier(spark, sf_dir).filter(F.col("enq_round") >= 2).select(
+        "url", "enq_round"
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """O2: the canonicalizer pandas UDF over shouting-case URLs; the
+    oracle reconstructs the normalized form with plain SQL."""
+    d = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.lit("HTTP://WWW.HOST-"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:80/Doc/"), F.col("doc_id").cast("string"),
+    )
+
+    @F.pandas_udf("string")
+    def _canon(urls: pd.Series) -> pd.Series:
+        from krawler_spark.functions.kanon import canonicalize_series
+
+        return canonicalize_series(urls)
+
+    return d.select(F.col("doc_id"), _canon(raw).alias("canonical"))
+
+
+# ----------------------------------------------------------- training-data ops
+def q_dedup_exact(spark, sf_dir):
+    return T.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    return T.minhash_signatures(_docs(spark, sf_dir).filter(F.col("doc_id") < 200), k=4)
+
+
+def q_dedup_minhash_lsh_pairs(spark, sf_dir):
+    return T.minhash_lsh_pairs(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 200), k=4, bands=2
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return T.ngram_jaccard_pairs(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 300), threshold=0.2
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return T.simhash64(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+
+
+def q_text_token_count(spark, sf_dir):
+    return T.token_count(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return T.quality_scores(_docs(spark, sf_dir))
+
+
+def q_text_langid(spark, sf_dir):
+    return T.langid(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return T.fingerprint(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return T.cosine_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    return T.lsh_bucketed_ann(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def q_emb_neardup_pairs(spark, sf_dir):
+    return T.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.25)
+
+
+def q_multimodal_sniff(spark, sf_dir):
+    from krawler_spark.operators.multimodal import sniff_media_type
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return sniff_media_type(d).select("doc_id", "media_type", "n_bytes")
+
+
+def q_multimodal_features(spark, sf_dir):
+    from krawler_spark.operators.multimodal import extract_features
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return extract_features(d, deterministic_fake=True)
+
+
+def q_events_window_agg(spark, sf_dir):
+    """Tumbling-window aggregation — the batch twin of the structured-
+    streaming rollup in krawler_spark.streaming."""
+    e = _events(spark, sf_dir)
+    # per-event integer cents before summing: float addition order varies
+    # between engines, integer sums don't
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_value_c"),
+        )
+    )
+
+
+# --------------------------------------------------------------- full engine
+def _corpus_from_documents(spark, sf_dir):
+    """Synthesize a pages corpus FROM the driver's documents table:
+    deterministic host/url per doc_id, html wrapping the doc text plus
+    arithmetic out-links, text = engine extraction of that html."""
+    from krawler_spark.schemas import PAGES
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    n_docs = d.count()
+
+    def _gen(batches):
+        import pandas as pd
+
+        from krawler_spark.functions.extract import extract_text
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                doc_id = int(doc_id)
+                host = f"www.host-{doc_id % 7}.com"
+                url = f"http://{host}/doc/{doc_id}"
+                links = []
+                for c in range(2 + doc_id % 2):
+                    tgt = (doc_id * 7 + 13 * c + 1) % n_docs
+                    links.append(
+                        f'<a href="http://www.host-{tgt % 7}.com/doc/{tgt}">d{tgt}</a>'
+                    )
+                html = (
+                    f"<html><head><title>doc {doc_id}</title></head><body>"
+                    f"<p>{(text or '')[:400]}</p>{''.join(links)}</body></html>"
+                )
+                rows.append((url, None, html.encode("utf-8"), extract_text(html), lang))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return d.mapInPandas(_gen, schema=PAGES)
+
+
+def q_crawl_visited(spark, sf_dir):
+    """The flagship: a real multi-round frontier crawl over the
+    documents-derived corpus (rows-only check — the per-query oracle is
+    the serial-oracle equivalence suite in tests/)."""
+    from krawler_spark.config import CrawlConfig
+    from krawler_spark.engine import CrawlEngine
+
+    pages = _corpus_from_documents(spark, sf_dir)
+    cfg = CrawlConfig(max_depth=4, round_seconds=2.0, max_rounds=8,
+                      bloom_buckets=16, bloom_bits_per_bucket=1 << 17)
+    eng = CrawlEngine(
+        spark, pages, config=cfg,
+        warehouse=tempfile.mkdtemp(prefix="ks_entry_"),
+    )
+    eng.run([f"http://www.host-{i}.com/doc/{i}" for i in range(3)])
+    return eng.visited().select(
+        "url", "host", "depth", "root_page_id", "fetch_round", "host_seq", "action"
+    )
+
+
+# ------------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_crawl_visited(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "seed_injection": q_seed_injection,
+        "urlseen_antijoin": q_urlseen_antijoin,
+        "inbatch_dedup": q_inbatch_dedup,
+        "politeness_topk": q_politeness_topk,
+        "depth_filter": q_depth_filter,
+        "priority_pop": q_priority_pop,
+        "host_budget_agg": q_host_budget_agg,
+        "link_explode": q_link_explode,
+        "robots_segment_gate": q_robots_segment_gate,
+        "redirect_requeue": q_redirect_requeue,
+        "frontier_age_delete": q_frontier_age_delete,
+        "url_canonicalize": q_url_canonicalize,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "emb_neardup_pairs": q_emb_neardup_pairs,
+        "multimodal_sniff": q_multimodal_sniff,
+        "multimodal_features": q_multimodal_features,
+        "events_window_agg": q_events_window_agg,
+        "crawl_visited": q_crawl_visited,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    h64 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+    return {
+        "seed_injection": _FRONTIER_CTE + """
+            SELECT host AS url_seed,
+                   row_number() OVER (ORDER BY host) - 1 AS root_page_id
+            FROM (SELECT DISTINCT host FROM frontier)""",
+        "urlseen_antijoin": _FRONTIER_CTE + """
+            SELECT url, host, priority, depth FROM frontier f
+            WHERE NOT EXISTS (
+              SELECT 1 FROM frontier s WHERE s.seq % 2 = 0 AND s.url = f.url)""",
+        "inbatch_dedup": _FRONTIER_CTE + """
+            SELECT url_key, url, priority, seq FROM (
+              SELECT seq % 97 AS url_key, url, priority, seq,
+                     row_number() OVER (PARTITION BY seq % 97
+                                        ORDER BY priority, enq_round, seq) AS rn
+              FROM frontier) WHERE rn = 1""",
+        "politeness_topk": _FRONTIER_CTE + """
+            SELECT host, url, priority, ph_rank FROM (
+              SELECT host, url, priority,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY priority, enq_round, seq) AS ph_rank
+              FROM frontier) WHERE ph_rank <= 5""",
+        "depth_filter": _FRONTIER_CTE + "SELECT url, depth FROM frontier WHERE depth < 3",
+        "priority_pop": _FRONTIER_CTE + """
+            SELECT url, priority, seq FROM frontier
+            ORDER BY priority, seq LIMIT 100""",
+        "host_budget_agg": _FRONTIER_CTE + """
+            SELECT host, count(*) AS n_urls, min(priority) AS min_priority,
+                   max(depth) AS max_depth
+            FROM frontier GROUP BY host""",
+        "link_explode": """
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents WHERE doc_id < 50""",
+        "robots_segment_gate": _FRONTIER_CTE + """
+            SELECT url, path,
+                   NOT list_contains(
+                     list_transform(string_split(path, '/'), x -> '/' || x),
+                     '/blocked') AS allowed
+            FROM (SELECT url,
+                         CASE WHEN seq % 5 = 0 THEN '/blocked/' || seq
+                              WHEN seq % 5 = 1 THEN '/blockedpage/' || seq
+                              ELSE '/p/' || seq END AS path
+                  FROM frontier)""",
+        "redirect_requeue": _FRONTIER_CTE + """
+            SELECT url, depth, priority FROM frontier
+            UNION ALL
+            SELECT url || '/moved' AS url, depth, priority
+            FROM frontier WHERE seq % 11 = 0""",
+        "frontier_age_delete": _FRONTIER_CTE + """
+            SELECT url, enq_round FROM frontier WHERE enq_round >= 2""",
+        "url_canonicalize": """
+            SELECT doc_id,
+                   'http://www.host-' || (doc_id % 7) || '.com/Doc/' || doc_id
+                     AS canonical
+            FROM documents""",
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)""",
+        "dedup_minhash_sig": _SHINGLES_CTE.format(filt="doc_id < 200") + f"""
+            SELECT doc_id,
+                   {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1,
+                   {_mh_sql(2)} AS mh2, {_mh_sql(3)} AS mh3
+            FROM sh""",
+        "dedup_minhash_lsh_pairs": _SHINGLES_CTE.format(filt="doc_id < 200") + f""",
+            sigs AS (
+              SELECT doc_id,
+                     {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1,
+                     {_mh_sql(2)} AS mh2, {_mh_sql(3)} AS mh3
+              FROM sh),
+            bandrows AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM sigs
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bh FROM sigs),
+            capped AS (
+              SELECT doc_id, band, bh FROM (
+                SELECT doc_id, band, bh,
+                       row_number() OVER (PARTITION BY band, bh
+                                          ORDER BY doc_id) AS rnk
+                FROM bandrows) WHERE rnk <= 64)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""",
+        "dedup_ngram_jaccard": _SHINGLES_CTE.format(filt="doc_id < 300") + """,
+            blocked AS (SELECT doc_id, shingles,
+                               md5(array_to_string(ws[1:3], ' ')) AS blk FROM sh)
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(len(list_intersect(a.shingles, b.shingles))
+                           / len(list_distinct(list_concat(a.shingles, b.shingles))),
+                           4) AS jaccard
+              FROM blocked a JOIN blocked b
+                ON a.blk = b.blk AND a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.2""",
+        "ann_cosine_topk": _EMB_BASE + """
+            SELECT q_id, n_id, cos, rnk FROM (
+              SELECT q_id, n_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, n_id) AS rnk
+              FROM (
+                SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+                       round(list_cosine_similarity(q.v, b.v), 4) AS cos
+                FROM base b JOIN base q
+                  ON q.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id != q.vec_id))
+            WHERE rnk <= 5""",
+        "emb_neardup_pairs": _EMB_BASE + """
+            SELECT id_a, id_b, cos FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.v, b.v), 4) AS cos
+              FROM base a JOIN base b
+                ON a.label = b.label AND a.vec_id < b.vec_id)
+            WHERE cos >= 0.25""",
+        "text_token_count": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subtokens_est
+            FROM documents""",
+        "text_quality": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         / length(text), 4) AS alpha_ratio,
+                   round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                         / length(text), 4) AS punct_ratio,
+                   round(length(text)
+                         / len(string_split_regex(trim(text), '\\s+')), 4)
+                     AS avg_word_len,
+                   round(len(regexp_extract_all(lower(text),
+                         '\\b(the|and|of|to|in|is|it|that|was|for)\\b'))
+                         / len(string_split_regex(trim(text), '\\s+')), 4)
+                     AS stopword_ratio
+            FROM documents""",
+        "text_langid": """
+            SELECT doc_id, en_hits, de_hits, fr_hits,
+                   CASE WHEN greatest(en_hits, de_hits, fr_hits) = 0 THEN 'und'
+                        WHEN greatest(en_hits, de_hits, fr_hits) = en_hits THEN 'en'
+                        WHEN greatest(en_hits, de_hits, fr_hits) = de_hits THEN 'de'
+                        ELSE 'fr' END AS lang_guess
+            FROM (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text),
+                       '\\b(the|and|of|to|in|is|it|that|was|for)\\b')) AS en_hits,
+                     len(regexp_extract_all(lower(text),
+                       '\\b(der|die|das|und|ist|nicht|ein|eine|zu|mit)\\b')) AS de_hits,
+                     len(regexp_extract_all(lower(text),
+                       '\\b(le|la|les|et|est|un|une|des|que|pour)\\b')) AS fr_hits
+              FROM documents)""",
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents""",
+        "multimodal_sniff": """
+            SELECT doc_id, 'application/octet-stream' AS media_type,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents""",
+        "events_window_agg": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_c
+            FROM events GROUP BY 1, 2""",
+    }

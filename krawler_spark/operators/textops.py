@@ -1,0 +1,338 @@
+"""Training-data pipeline operators over a documents/embeddings corpus.
+
+These extend the crawl engine with the operations a web-scale
+training-data pipeline runs downstream of the crawler (dedup,
+similarity, quality filtering) — first-class components alongside the
+SURVEY.md §2 inventory. Everything is built from JVM-side
+``pyspark.sql.functions`` (whole-stage codegen) except simhash, which
+is a vectorized pandas UDF by nature (per-word bit accumulation).
+
+Cross-engine determinism: every hash is derived from ``md5`` (identical
+in Spark and DuckDB), so each operator has an exact ANSI-SQL oracle.
+``_hash64(s)`` = first 15 hex digits of md5 as a bigint (60 bits).
+
+Scale notes (100 TB corpus):
+* exact dedup is one hash-shuffle on a 16-byte key — the canonical
+  map-side-combine groupBy; no driver state.
+* minhash-LSH: signatures are per-row (no shuffle); candidate pairs
+  come from a groupBy on (band, band-hash) buckets — the shuffle is
+  proportional to corpus size, and bucket skew (boilerplate shingles)
+  is bounded by a per-bucket cap before the pairwise join.
+* n-gram jaccard joins only within blocking buckets, never cross-
+  product; embedding near-dup blocks on coarse quantized keys.
+* brute-force cosine top-k broadcasts the (small) query set and does
+  one pass over the corpus — the right plan when queries ≪ corpus;
+  the LSH variant bounds work per bucket for query sets that grow.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EN_STOP = r"\b(the|and|of|to|in|is|it|that|was|for)\b"
+DE_STOP = r"\b(der|die|das|und|ist|nicht|ein|eine|zu|mit)\b"
+FR_STOP = r"\b(le|la|les|et|est|un|une|des|que|pour)\b"
+
+
+def hash64(col):
+    """Deterministic 60-bit int from md5 — identical in DuckDB via
+    ('0x' || substr(md5(x),1,15))::bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------------- dedup
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5-hash groupBy, keep the lowest id per group
+    (hash-shuffle on the 16-byte digest; map-side combine)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles as an array column (no shuffle)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    return df.withColumn(out, F.array_distinct(sh))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, n: int = 3
+) -> DataFrame:
+    """k-permutation minhash over word n-gram shingles. Permutation i is
+    md5("i|" + shingle) — salted md5 keeps the oracle exact. Entirely
+    per-row: signatures never shuffle."""
+    shingled = word_shingles(df, text_col, n)
+
+    def _mh(i: int):
+        # factory, NOT a default-arg lambda: a two-parameter lambda would
+        # be treated by F.transform as an (element, index) function and
+        # the array index would silently replace the salt
+        salt = f"{i}|"
+        return F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(salt), s)), 1, 15), 16, 10
+                ).cast("long"),
+            )
+        ).alias(f"mh{i}")
+
+    return shingled.select(F.col(id_col), *[_mh(i) for i in range(k)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """LSH candidate pairs: split the k-minhash signature into bands,
+    bucket-join docs sharing a band hash. ``bucket_cap`` bounds skewed
+    buckets (boilerplate text) before the within-bucket pairing."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+        )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    w = Window.partitionBy("band", "bh").orderBy(F.col(id_col))
+    capped = exploded.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= bucket_cap
+    )
+    a = capped.select("band", "bh", F.col(id_col).alias("id_a"))
+    b = capped.select("band", "bh", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_expr=None,
+) -> DataFrame:
+    """Exact n-gram Jaccard within blocking buckets. Default block key:
+    md5 of the first shingle (cheap prefix blocking — near-dups of web
+    text almost always share their opening shingle)."""
+    shingled = word_shingles(df, text_col, n).select(id_col, "shingles")
+    if block_expr is None:
+        block_expr = F.md5(F.element_at(F.col("shingles"), 1))
+    blocked = shingled.withColumn("blk", block_expr)
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), "blk")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), "blk")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit simhash over word hashes — numpy bit-vote accumulation in
+    an Arrow-batched pandas UDF (no SQL oracle; checked rows-only)."""
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in texts:
+            words = (t or "").split()
+            if not words:
+                out.append(0)
+                continue
+            hs = np.array(
+                [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in set(words)],
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            val = np.uint64(0)
+            for j in np.nonzero(votes > 0)[0]:
+                val |= np.uint64(1) << np.uint64(j)
+            out.append(int(val.astype(np.int64)))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+# -------------------------------------------------------------- text analysis
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (4 chars/token)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    return df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("n_subtokens_est"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^.!?,;:]", ""))
+    stop_hits = F.size(F.regexp_extract_all(F.lower(t), F.lit(EN_STOP), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(alpha / n_chars, 4).alias("alpha_ratio"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(n_chars / n_words, 4).alias("avg_word_len"),
+        F.round(stop_hits / n_words, 4).alias("stopword_ratio"),
+    )
+
+
+def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic tier)."""
+    low = F.lower(F.col(text_col))
+    en = F.size(F.regexp_extract_all(low, F.lit(EN_STOP), F.lit(0)))
+    de = F.size(F.regexp_extract_all(low, F.lit(DE_STOP), F.lit(0)))
+    fr = F.size(F.regexp_extract_all(low, F.lit(FR_STOP), F.lit(0)))
+    best = F.greatest(en, de, fr)
+    lang = (
+        F.when(best == 0, F.lit("und"))
+        .when(best == en, F.lit("en"))
+        .when(best == de, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select(F.col(id_col), en.alias("en_hits"), de.alias("de_hits"),
+                     fr.alias("fr_hits"), lang.alias("lang_guess"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace-normalized md5 document fingerprint."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+# ----------------------------------------------------------------- embeddings
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: List[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query rows, one scan of
+    the corpus, per-query window for the top-k."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), vec_d.alias("v"))
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = base.join(F.broadcast(q), F.col(id_col) != F.col("q_id")).select(
+        "q_id", F.col(id_col).alias("n_id"), F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Near-duplicate vectors: pairwise cosine within blocking buckets
+    (label, or any coarse quantization) — never a cross product."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), F.col(block_col).alias("blk"), vec_d.alias("v"))
+    a = base.select(F.col(id_col).alias("id_a"), "blk", F.col("v").alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), "blk", F.col("v").alias("vb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def lsh_bucketed_ann(
+    emb: DataFrame,
+    query_ids: List[int],
+    k: int = 5,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for ANN: random-hyperplane LSH — the sign pattern of
+    ``planes`` pseudo-random projections keys a bucket; top-k runs only
+    within the query's bucket. Planes are derived deterministically
+    from (plane_idx, dim) so executors rebuild them without state."""
+    import math
+
+    dim_probe = len(emb.select(vec_col).first()[0])
+
+    def plane_val(p: int, d: int) -> float:
+        # deterministic pseudo-random in [-1, 1): golden-ratio scramble
+        x = math.sin(1.0 + p * 12.9898 + d * 78.233) * 43758.5453
+        return 2.0 * (x - math.floor(x)) - 1.0
+
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), vec_d.alias("v"))
+    sig_bits = []
+    for p in range(planes):
+        coeffs = F.array(*[F.lit(plane_val(p, d)) for d in range(dim_probe)])
+        sig_bits.append(F.when(_dot(F.col("v"), coeffs) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    bucketed = base.withColumn("bucket", F.concat(*sig_bits))
+    q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    scored = bucketed.join(F.broadcast(q), "bucket").filter(
+        F.col(id_col) != F.col("q_id")
+    ).select(
+        "q_id", F.col(id_col).alias("n_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )
