@@ -1,0 +1,151 @@
+"""Benchmark harness — run headline queries + the crawl-throughput
+round loop; print ONE JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] core count (default 32)
+  KS_BENCH_PAGES_PER_HOST / KS_BENCH_HOSTS  crawl-corpus scale overrides
+
+The crawl bench measures the north-star metric: URLs fetched+deduped
+per second of frontier-round processing. The frontier is seeded with
+every corpus URL at once (a deep-frontier snapshot, not a BFS trickle),
+politeness budgets set high enough not to throttle, so the measured
+rate is the engine DAG's throughput: dedup window → bloom-probed
+anti-join → robots gate → politeness rank → fetch join → harvest.
+Scaling evidence across core counts: scripts/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "urlseen_antijoin",
+    "inbatch_dedup",
+    "politeness_topk",
+    "priority_pop",
+    "link_explode",
+    "robots_segment_gate",
+    "url_canonicalize",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "text_quality",
+    "text_langid",
+    "ann_cosine_topk",
+    "emb_neardup_pairs",
+    "events_window_agg",
+]
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def crawl_bench(spark, hosts: int, pages_per_host: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from krawler_spark.config import CrawlConfig
+    from krawler_spark.engine import CrawlEngine
+    from krawler_spark.sources.corpus import build_pages_spark
+
+    corpus_dir = os.path.join(
+        tempfile.gettempdir(), f"ks_bench_corpus_h{hosts}_p{pages_per_host}"
+    )
+    if not os.path.isdir(corpus_dir):
+        build_pages_spark(spark, hosts, pages_per_host).write.mode(
+            "overwrite"
+        ).parquet(corpus_dir + ".tmp")
+        os.replace(corpus_dir + ".tmp", corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+
+    seeds_df = (
+        pages.filter(~F.col("url").endswith("/robots.txt"))
+        .select("url")
+        .withColumn("seed_order", F.pmod(F.xxhash64("url"), F.lit(1 << 31)))
+    )
+
+    cfg = CrawlConfig(
+        max_depth=-1,
+        politeness_delay_ms=1,          # budget ≫ host size: measure engine, not throttle
+        round_seconds=60.0,
+        max_rounds=2,
+        use_bloom=True,
+        bloom_buckets=64,
+        bloom_bits_per_bucket=1 << 18,
+        deterministic_history_ids=False,  # scale mode: no global-order stage
+    )
+    wh = tempfile.mkdtemp(prefix="ks_bench_wh_")
+    eng = CrawlEngine(spark, pages, config=cfg, warehouse=wh)
+
+    t0 = time.time()
+    eng.run(seeds_df=seeds_df)
+    wall = time.time() - t0
+
+    last = eng.store.last_committed()
+    metrics = {}
+    for r in eng.store.read_deltas("metrics", last).collect():
+        metrics.setdefault(r["metric"], 0)
+        metrics[r["metric"]] += r["value"]
+    fetched = int(metrics.get("visited", 0))
+    deduped = int(metrics.get("history_inserted", 0))
+    # candidates entering the round pipeline = seeds + all re-enqueued links
+    processed = fetched + deduped
+    shutil.rmtree(wh, ignore_errors=True)
+    return {
+        "sec": round(wall, 2),
+        "rounds": int(last) + 1 if last is not None else 0,
+        "fetched": fetched,
+        "deduped": deduped,
+        "urls_per_sec": round((fetched + deduped) / wall, 1),
+        "frontier_next": int(metrics.get("frontier_next", 0)),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entry
+    from krawler_spark.session import get_spark
+
+    spark = get_spark("krawler-bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _count(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    hosts = int(os.environ.get("KS_BENCH_HOSTS", "64"))
+    pph = int(os.environ.get("KS_BENCH_PAGES_PER_HOST", "1200"))
+    crawl = crawl_bench(spark, hosts, pph)
+    timings["crawl_round_loop"] = crawl["sec"]
+
+    total = round(sum(timings.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "crawl": crawl,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,8 +33,16 @@ class CrawlConfig:
     # BSP-round parameters (engine-specific)
     round_seconds: float = 10.0         # nominal round length → politeness budget
     max_rounds: int = 1_000             # hard stop for the driver loop
-    bloom_buckets: int = 64             # per-partition bloom shards (O9 at scale)
-    bloom_bits_per_bucket: int = 1 << 20
+    # True: history ids are sequential in pop order (oracle-exact; costs
+    # one single-partition window over the round's delta). False: ids are
+    # xxhash64(url) — deterministic and unique w.h.p., no global ordering
+    # stage; the right choice at 10^10-URL scale.
+    deterministic_history_ids: bool = True
+    # Bloom shards (O9 at scale): size bits to ~16× the expected URL
+    # count for ~1e-4 FP with k=7 (FPs only cost an extra exact check —
+    # never correctness). 64 × 2^17 bits = 1 MiB of broadcast.
+    bloom_buckets: int = 64
+    bloom_bits_per_bucket: int = 1 << 17
     use_bloom: bool = True
     frontier_partitions: int = 32       # hash(host) shards ≈ ScheduledQueue's 10 queues
     host_salt: int = 4                  # salting factor for hot-host skew

@@ -33,6 +33,8 @@ Scale decisions (graded against the north rule):
 
 from __future__ import annotations
 
+import os
+import time
 import zlib
 from typing import Callable, Dict, Iterator, List, Optional
 
@@ -52,6 +54,21 @@ def _pop_order():
     """The total pop order K = (priority, enq_round, seq, url)."""
     return [F.col("priority").asc(), F.col("enq_round").asc(),
             F.col("seq").asc(), F.col("url").asc()]
+
+
+class _Timer:
+    """Opt-in stage timing: KS_TIMING=1 prints per-action wall times."""
+
+    def __init__(self, rnd: int):
+        self.on = bool(os.environ.get("KS_TIMING"))
+        self.rnd = rnd
+        self.t = time.time()
+
+    def tick(self, label: str) -> None:
+        if self.on:
+            now = time.time()
+            print(f"[timing r{self.rnd}] {label}: {now - self.t:.1f}s", flush=True)
+            self.t = now
 
 
 class CrawlEngine:
@@ -83,9 +100,36 @@ class CrawlEngine:
         # url so every round's fetch join reuses the layout. On a real
         # cluster this is an Iceberg table bucketed by url.
         self.pages = pages
-        self._robots = (
+
+        # Robots bodies are parsed ONCE per crawl (python, tiny input) into
+        # per-host disallow arrays with the user-agent already resolved
+        # (RoboMinder.kt:71). The per-round gate is then pure JVM column
+        # algebra over a broadcast join — no python stage in the hot path.
+        # rules NULL ⇔ parse error (⇒ allow-all); join miss ⇔ no robots.txt
+        # (⇒ allow-all).
+        ua = self.config.user_agent
+
+        def _parse_rules(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            from .functions.robots import RobotsParseError, parse_robots, rules_for_agent
+
+            for pdf in batches:
+                out = []
+                for u, body in zip(pdf["robots_url"], pdf["robots_body"]):
+                    try:
+                        rules = sorted(rules_for_agent(parse_robots(body), ua))
+                    except RobotsParseError:
+                        rules = None
+                    out.append((u, rules))
+                yield pd.DataFrame(out, columns=["robots_url", "rules"])
+
+        self._robots_rules = (
             pages.filter(F.col("url").endswith("/robots.txt"))
             .select(F.col("url").alias("robots_url"), F.col("text").alias("robots_body"))
+            .mapInPandas(_parse_rules, schema="robots_url string, rules array<string>")
+            .withColumn("has_robots", F.lit(True))
+            .cache()
         )
 
     # ------------------------------------------------------------------ seeds
@@ -98,11 +142,40 @@ class CrawlEngine:
             rows.append((pu.canonical, pu.host, order, None, 0, 0, 0, order))
         return self.spark.createDataFrame(rows, schemas.FRONTIER)
 
+    def seed_frontier_df(self, seeds: DataFrame) -> DataFrame:
+        """Distributed seed injection for frontiers too large to pass
+        through the driver: ``seeds(url, seed_order)`` → frontier rows
+        with root_page_id = seed_order, canonicalized in an Arrow batch
+        UDF (no driver materialization — the 10^10-URL path)."""
+        from .functions.kanon import canonicalize_series, parse_struct_frame
+
+        def _seed(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                parsed = parse_struct_frame(pdf["url"])
+                out = pd.DataFrame(
+                    {
+                        "url": parsed["canonical"],
+                        "host": parsed["host"],
+                        "root_page_id": pdf["seed_order"].astype("int32"),
+                        "parent_url": None,
+                        "depth": 0,
+                        "priority": 0,
+                        "enq_round": 0,
+                        "seq": pdf["seed_order"].astype("int64"),
+                    }
+                )
+                yield out
+
+        return seeds.mapInPandas(_seed, schema=schemas.FRONTIER)
+
     # ------------------------------------------------------------- round DAG
     def _run_round(self, rnd: int, frontier: DataFrame, state: dict) -> dict:
         cfg = self.config
         spark = self.spark
         budget = cfg.per_host_budget
+        tm = _Timer(rnd)
 
         # No upfront repartition: the dedup window shuffles by url and the
         # politeness window by host — Catalyst inserts exactly those two
@@ -159,16 +232,24 @@ class CrawlEngine:
             new = new.withColumn(
                 "_path", F.expr("substring(url, length(host) + locate('://', url) + 3)")
             ).withColumn("robots_url", F.concat(hier, F.lit("/robots.txt")))
-            new = new.join(F.broadcast(self._robots), "robots_url", "left")
-            ua = cfg.user_agent
-
-            @F.pandas_udf("boolean")
-            def _allowed(paths, bodies):
-                return eval_frame(paths, bodies, ua)
-
-            gated = new.withColumn(
-                "_allowed", _allowed(F.col("_path"), F.col("robots_body"))
-            ).drop("robots_url", "robots_body", "_path")
+            new = new.join(F.broadcast(self._robots_rules), "robots_url", "left")
+            # RoboMinder.kt:55-68 as column algebra: "" ∈ rules → allow;
+            # "/" ∈ rules → deny; else deny iff any rule equals a
+            # "/"+segment of the query-stripped path. NULL rules (parse
+            # error or no robots.txt) → allow.
+            segments = F.transform(
+                F.split(F.split(F.col("_path"), r"\?").getItem(0), "/"),
+                lambda x: F.concat(F.lit("/"), x),
+            )
+            allowed = (
+                F.when(F.col("rules").isNull(), F.lit(True))
+                .when(F.array_contains(F.col("rules"), ""), F.lit(True))
+                .when(F.array_contains(F.col("rules"), "/"), F.lit(False))
+                .otherwise(~F.arrays_overlap(F.col("rules"), segments))
+            )
+            gated = new.withColumn("_allowed", allowed).drop(
+                "robots_url", "rules", "has_robots", "_path"
+            )
         else:
             gated = new.withColumn("_allowed", F.lit(True))
         gated = gated.cache()
@@ -268,17 +349,21 @@ class CrawlEngine:
         )
         if hist_extra is not None:
             consumed = consumed.unionByName(hist_extra)
-        w_id = Window.orderBy(*_pop_order())
         base_id = state.get("next_history_id", 0)
-        hist_delta = consumed.withColumn(
-            "id", (F.row_number().over(w_id) - 1 + F.lit(base_id)).cast("long")
-        ).select(
+        if cfg.deterministic_history_ids:
+            w_id = Window.orderBy(*_pop_order())
+            id_col = (F.row_number().over(w_id) - 1 + F.lit(base_id)).cast("long")
+        else:
+            # scale mode: no global ordering stage; ids = xxhash64(url)
+            id_col = F.xxhash64("url")
+        hist_delta = consumed.withColumn("id", id_col).select(
             "id", "url", F.xxhash64("url").alias("url_hash64"),
             F.lit(rnd).alias("seen_round"),
         )
         hist_delta = hist_delta.cache()
         self.store.write_table("history", rnd, hist_delta)
         hist_ct = hist_delta.count()
+        tm.tick("history write")
 
         # --- bloom shard update ------------------------------------------------
         if cfg.use_bloom:
@@ -289,6 +374,7 @@ class CrawlEngine:
             self.store.write_table(
                 "bloom", rnd, bloom_ops.merge_shards(spark, old, delta_shards)
             )
+            tm.tick("bloom build+merge")
 
         # --- visited delta + per-host fetch ordinals ---------------------------
         ok = fetched.filter(F.col("_hit"))
@@ -308,6 +394,7 @@ class CrawlEngine:
             "text", "lang",
         )
         self.store.write_table("visited", rnd, visited_out)
+        tm.tick("visited write")
 
         host_counts = ok.groupBy("host").agg(F.count("*").alias("fetched"))
         if prev_host is not None:
@@ -316,6 +403,7 @@ class CrawlEngine:
                 .groupBy("host").agg(F.sum("fetched").alias("fetched"))
             )
         self.store.write_table("host_state", rnd, host_counts)
+        tm.tick("host_state write")
 
         # --- events delta -------------------------------------------------------
         def _ev(df, kind, detail=None):
@@ -337,6 +425,7 @@ class CrawlEngine:
             _ev(fetched.filter(~F.col("_hit")), "fetch_error", "no corpus row")
         )
         self.store.write_table("events", rnd, events)
+        tm.tick("events write")
 
         # --- 9+10. harvest: redirects re-enqueue + link extraction -------------
         slow_redirects = (
@@ -423,6 +512,7 @@ class CrawlEngine:
         next_frontier = deferred.unionByName(children).cache()
         self.store.write_table("frontier", rnd + 1, next_frontier)
         frontier_ct = next_frontier.count()
+        tm.tick("harvest + frontier write")
 
         # --- metrics + commit ----------------------------------------------------
         agg = ok.agg(
@@ -447,6 +537,7 @@ class CrawlEngine:
         }
         new_state["exhausted"] = bool(will_exhaust)
         new_state["frontier_next"] = int(frontier_ct)
+        tm.tick("metrics")
         self.store.commit_round(rnd, new_state)
 
         frontier.unpersist()
@@ -460,7 +551,12 @@ class CrawlEngine:
         return new_state
 
     # ------------------------------------------------------------------ driver
-    def run(self, seeds: Optional[List[str]] = None, resume: bool = False) -> dict:
+    def run(
+        self,
+        seeds: Optional[List[str]] = None,
+        resume: bool = False,
+        seeds_df: Optional[DataFrame] = None,
+    ) -> dict:
         """Drive rounds until the frontier drains, the page budget is
         exhausted, or max_rounds (O7/O17 termination)."""
         cfg = self.config
@@ -470,9 +566,12 @@ class CrawlEngine:
             state = self.store.committed_state(last)
             frontier = self.store.read_snapshot("frontier", start)
         else:
-            if seeds is None:
+            if seeds is None and seeds_df is None:
                 raise ValueError("seeds required for a fresh crawl")
-            frontier = self.seed_frontier(seeds)
+            frontier = (
+                self.seed_frontier_df(seeds_df) if seeds_df is not None
+                else self.seed_frontier(seeds)
+            )
             self.store.write_table("frontier", 0, frontier)
             frontier = self.store.read_snapshot("frontier", 0)
             start = 0

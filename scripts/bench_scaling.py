@@ -1,0 +1,88 @@
+"""Two-cluster-size scaling evidence (north_rule): run the identical
+crawl bench at N and 4N cores in separate processes (getOrCreate would
+otherwise reuse one JVM), report throughput at both + efficiency, and
+write BENCH/BASELINE.md.
+
+Usage: python scripts/bench_scaling.py [--hosts 64] [--pages 3000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, hosts: int, pages: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        KS_BENCH_HOSTS=str(hosts),
+        KS_BENCH_PAGES_PER_HOST=str(pages),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hosts", type=int, default=64)
+    ap.add_argument("--pages", type=int, default=3000)
+    ap.add_argument("--n", type=int, default=8)
+    args = ap.parse_args()
+
+    results = {}
+    for cpus in (args.n, args.n * 4):
+        t0 = time.time()
+        results[cpus] = run_bench(cpus, args.hosts, args.pages)
+        print(f"cpus={cpus}: {json.dumps(results[cpus]['crawl'])} "
+              f"(bench wall {time.time()-t0:.0f}s)", flush=True)
+
+    lo, hi = results[args.n]["crawl"], results[args.n * 4]["crawl"]
+    speedup = lo["sec"] / hi["sec"]
+    eff = speedup / 4
+    ups_lo, ups_hi = lo["urls_per_sec"], hi["urls_per_sec"]
+
+    md = f"""# BENCH/BASELINE — crawl-engine throughput + scaling evidence
+
+North-star metric (BASELINE.json): **URLs fetched+deduped/sec per
+frontier round**, with **scaling efficiency ≥ 0.8 from N → 4N
+executors**. No real cluster exists in this sandbox, so per the task
+directive the evidence is the same job at two parallelism levels —
+`local[{args.n}]` vs `local[{args.n * 4}]` — on the same deterministic
+synthetic corpus ({args.hosts} hosts × {args.pages} pages/host +
+10× hot host; full-corpus frontier seed; 2 BSP rounds; bloom-probed
+URL-seen; JVM robots gate; politeness budget non-binding so the engine
+DAG is what's measured).
+
+| config | round-loop sec | fetched | deduped | urls/sec |
+|---|---|---|---|---|
+| local[{args.n}] (N) | {lo['sec']} | {lo['fetched']} | {lo['deduped']} | {ups_lo} |
+| local[{args.n * 4}] (4N) | {hi['sec']} | {hi['fetched']} | {hi['deduped']} | {ups_hi} |
+
+**Speedup N→4N: {speedup:.2f}× → scaling efficiency {eff:.2f}**
+(criterion ≥ 0.8 means ≥ 3.2× from 4× cores).
+
+Full bench JSON (N): `{json.dumps(results[args.n])}`
+
+Full bench JSON (4N): `{json.dumps(results[args.n * 4])}`
+
+Reproduce: `python scripts/bench_scaling.py --hosts {args.hosts} --pages {args.pages}`
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
