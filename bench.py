@@ -55,13 +55,16 @@ def crawl_bench(spark, hosts: int, pages_per_host: int) -> dict:
     from krawler_spark.engine import CrawlEngine
     from krawler_spark.sources.corpus import build_pages_spark
 
+    avg_links = int(os.environ.get("KS_BENCH_LINKS", "40"))
+    n_words = int(os.environ.get("KS_BENCH_WORDS", "300"))
     corpus_dir = os.path.join(
-        tempfile.gettempdir(), f"ks_bench_corpus_h{hosts}_p{pages_per_host}"
+        tempfile.gettempdir(),
+        f"ks_bench_corpus_h{hosts}_p{pages_per_host}_l{avg_links}_w{n_words}",
     )
     if not os.path.isdir(corpus_dir):
-        build_pages_spark(spark, hosts, pages_per_host).write.mode(
-            "overwrite"
-        ).parquet(corpus_dir + ".tmp")
+        build_pages_spark(
+            spark, hosts, pages_per_host, avg_links=avg_links, n_words=n_words
+        ).write.mode("overwrite").parquet(corpus_dir + ".tmp")
         os.replace(corpus_dir + ".tmp", corpus_dir)
     pages = spark.read.parquet(corpus_dir)
 

@@ -43,6 +43,11 @@ class CrawlConfig:
     # never correctness). 64 × 2^17 bits = 1 MiB of broadcast.
     bloom_buckets: int = 64
     bloom_bits_per_bucket: int = 1 << 17
+    # Below this many history rows a plain JVM anti-join beats the
+    # python probe stage; shards are still maintained every round so the
+    # switch-over needs no backfill. (At 10^10 rows the probe is the
+    # only viable plan — that's what it exists for.)
+    bloom_activation_rows: int = 2_000_000
     use_bloom: bool = True
     frontier_partitions: int = 32       # hash(host) shards ≈ ScheduledQueue's 10 queues
     host_salt: int = 4                  # salting factor for hot-host skew

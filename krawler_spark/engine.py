@@ -170,6 +170,47 @@ class CrawlEngine:
 
         return seeds.mapInPandas(_seed, schema=schemas.FRONTIER)
 
+    # ------------------------------------------------------- live enqueue
+    def submit_urls(self, urls: List[str], priority: int = 0) -> None:
+        """Live enqueue during an active crawl (Krawler.kt:205-214):
+        staged to ``submissions/`` and drained at the next round
+        boundary — snapshot isolation replaces the reference's
+        concurrent queue insert. Root ids for live submissions are
+        crc32-derived (the reference's counter is driver-session
+        state, which a resumable engine cannot depend on)."""
+        rows = []
+        for s in urls:
+            pu = parse_url(s)
+            rows.append(
+                (pu.canonical, pu.host,
+                 zlib.crc32(pu.canonical.encode()) % (1 << 31), None,
+                 0, priority, 0, zlib.crc32(pu.canonical.encode()))
+            )
+        df = self.spark.createDataFrame(rows, schemas.FRONTIER)
+        df.write.mode("append").parquet(os.path.join(self.store.path, "submissions"))
+
+    def _drain_submissions(self, rnd: int, frontier: DataFrame) -> DataFrame:
+        sub_dir = os.path.join(self.store.path, "submissions")
+        if not os.path.isdir(sub_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(sub_dir)
+        ):
+            return frontier
+        staged = self.spark.read.parquet(sub_dir).withColumn(
+            "enq_round", F.lit(rnd)
+        ).select(*[f.name for f in schemas.FRONTIER.fields])
+        merged = frontier.unionByName(staged) if frontier is not None else staged
+        # fold into this round's frontier snapshot: write to a side dir,
+        # then swap — never overwrite a directory the plan is reading
+        import shutil as _sh
+
+        final_dir = self.store._table_dir("frontier", rnd)
+        tmp_dir = final_dir + ".merged"
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        _sh.rmtree(final_dir, ignore_errors=True)
+        os.replace(tmp_dir, final_dir)
+        _sh.move(sub_dir, os.path.join(self.store.path, f"submissions_r{rnd}_consumed"))
+        return self.store.read_snapshot("frontier", rnd)
+
     # ------------------------------------------------------------- round DAG
     def _run_round(self, rnd: int, frontier: DataFrame, state: dict) -> dict:
         cfg = self.config
@@ -200,8 +241,11 @@ class CrawlEngine:
         # --- 3. URL-seen: bloom prefilter + exact anti-join ------------------
         history = self.store.read_deltas("history", rnd - 1)
         probed = None
+        bloom_active = cfg.use_bloom and (
+            state.get("history_rows", 0) >= cfg.bloom_activation_rows
+        )
         if history is not None:
-            if cfg.use_bloom:
+            if bloom_active:
                 shards = self.store.read_snapshot("bloom", rnd - 1)
                 probed = bloom_ops.probe(
                     spark, keep, shards, cfg.bloom_buckets, cfg.bloom_bits_per_bucket
@@ -342,6 +386,11 @@ class CrawlEngine:
             will_exhaust = False
 
         fetched = fetched.cache()
+        # one action materializes the whole upstream chain (dedup window,
+        # bloom probe, anti-join, robots gate, politeness rank, fetch
+        # join) so the table writes below run off caches
+        fetched.count()
+        tm.tick("materialize round chain")
 
         # --- history delta: deterministic ids in K order ----------------------
         consumed = fetched.select("url", "priority", "enq_round", "seq").unionByName(
@@ -361,20 +410,6 @@ class CrawlEngine:
             F.lit(rnd).alias("seen_round"),
         )
         hist_delta = hist_delta.cache()
-        self.store.write_table("history", rnd, hist_delta)
-        hist_ct = hist_delta.count()
-        tm.tick("history write")
-
-        # --- bloom shard update ------------------------------------------------
-        if cfg.use_bloom:
-            old = self.store.read_snapshot("bloom", rnd - 1)
-            delta_shards = bloom_ops.build_delta(
-                hist_delta, cfg.bloom_buckets, cfg.bloom_bits_per_bucket
-            )
-            self.store.write_table(
-                "bloom", rnd, bloom_ops.merge_shards(spark, old, delta_shards)
-            )
-            tm.tick("bloom build+merge")
 
         # --- visited delta + per-host fetch ordinals ---------------------------
         ok = fetched.filter(F.col("_hit"))
@@ -392,9 +427,7 @@ class CrawlEngine:
             F.when(F.col("_visit"), F.lit("visit")).otherwise(F.lit("check")).alias("action"),
             F.coalesce(F.col("_rstatus"), F.lit(200)).alias("status"),
             "text", "lang",
-        )
-        self.store.write_table("visited", rnd, visited_out)
-        tm.tick("visited write")
+        ).repartition(spark.sparkContext.defaultParallelism)  # de-skew the write
 
         host_counts = ok.groupBy("host").agg(F.count("*").alias("fetched"))
         if prev_host is not None:
@@ -402,8 +435,6 @@ class CrawlEngine:
                 host_counts.unionByName(prev_host)
                 .groupBy("host").agg(F.sum("fetched").alias("fetched"))
             )
-        self.store.write_table("host_state", rnd, host_counts)
-        tm.tick("host_state write")
 
         # --- events delta -------------------------------------------------------
         def _ev(df, kind, detail=None):
@@ -424,8 +455,6 @@ class CrawlEngine:
         events = events.unionByName(
             _ev(fetched.filter(~F.col("_hit")), "fetch_error", "no corpus row")
         )
-        self.store.write_table("events", rnd, events)
-        tm.tick("events write")
 
         # --- 9+10. harvest: redirects re-enqueue + link extraction -------------
         slow_redirects = (
@@ -433,9 +462,13 @@ class CrawlEngine:
             and not cfg.use_fast_redirect_strategy
             and cfg.follow_redirects
         )
+        # The fetch-join output is partitioned by host (politeness window),
+        # so a hot host would funnel its whole page batch into ONE python
+        # harvest task. Harvesting has no host affinity — round-robin it
+        # across the cluster (north_rule: explicit skew mitigation).
         harvest_src = ok.filter(F.col("_visit") & F.col("_rstatus").isNull()).select(
             "url", "html", "depth", "root_page_id"
-        )
+        ).repartition(spark.sparkContext.defaultParallelism * 2)
         priority_expr = self.priority_expr
 
         def _harvest(batches: Iterator) -> Iterator:
@@ -510,15 +543,52 @@ class CrawlEngine:
             )
 
         next_frontier = deferred.unionByName(children).cache()
-        self.store.write_table("frontier", rnd + 1, next_frontier)
-        frontier_ct = next_frontier.count()
-        tm.tick("harvest + frontier write")
 
-        # --- metrics + commit ----------------------------------------------------
-        agg = ok.agg(
-            F.count(F.lit(1)).alias("v"),
-            F.sum(F.col("_counting").cast("long")).alias("c"),
-        ).first()
+        # --- parallel table writes ------------------------------------------
+        # Every output below depends only on the cached round chain, so the
+        # five delta/snapshot writes are independent Spark jobs — submit
+        # them concurrently (FIFO scheduler interleaves their stages) and
+        # commit only after all complete.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_history() -> int:
+            self.store.write_table("history", rnd, hist_delta)
+            n = hist_delta.count()
+            if cfg.use_bloom:
+                old = self.store.read_snapshot("bloom", rnd - 1)
+                delta_shards = bloom_ops.build_delta(
+                    hist_delta, cfg.bloom_buckets, cfg.bloom_bits_per_bucket
+                )
+                self.store.write_table(
+                    "bloom", rnd, bloom_ops.merge_shards(spark, old, delta_shards)
+                )
+            return int(n)
+
+        def _w_frontier() -> int:
+            self.store.write_table("frontier", rnd + 1, next_frontier)
+            return int(next_frontier.count())
+
+        def _agg_counts():
+            return ok.agg(
+                F.count(F.lit(1)).alias("v"),
+                F.sum(F.col("_counting").cast("long")).alias("c"),
+            ).first()
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_hist = pool.submit(_w_history)
+            f_front = pool.submit(_w_frontier)
+            f_vis = pool.submit(self.store.write_table, "visited", rnd, visited_out)
+            f_host = pool.submit(self.store.write_table, "host_state", rnd, host_counts)
+            f_ev = pool.submit(self.store.write_table, "events", rnd, events)
+            f_agg = pool.submit(_agg_counts)
+            hist_ct = f_hist.result()
+            frontier_ct = f_front.result()
+            agg = f_agg.result()
+            f_vis.result()
+            f_host.result()
+            f_ev.result()
+        tm.tick("parallel writes (history+bloom, frontier+harvest, visited, hosts, events)")
+
         visited_ct = int(agg["v"] or 0)
         counted_now = int(agg["c"] or 0)
         metrics_rows = [
@@ -527,13 +597,12 @@ class CrawlEngine:
             (rnd, "frontier_next", int(frontier_ct)),
             (rnd, "history_inserted", int(hist_ct)),
         ]
-        self.store.write_table(
-            "metrics", rnd, spark.createDataFrame(metrics_rows, schemas.METRICS)
-        )
+        self.store.write_rows_local("metrics", rnd, metrics_rows, schemas.METRICS)
 
         new_state = {
             "counted": state.get("counted", 0) + int(counted_now),
             "next_history_id": base_id + int(hist_ct),
+            "history_rows": state.get("history_rows", 0) + int(hist_ct),
         }
         new_state["exhausted"] = bool(will_exhaust)
         new_state["frontier_next"] = int(frontier_ct)
@@ -581,7 +650,13 @@ class CrawlEngine:
         for rnd in range(start, cfg.max_rounds):
             if state.get("exhausted"):
                 break
-            if frontier is None or frontier.isEmpty():
+            frontier = self._drain_submissions(rnd, frontier)
+            if frontier is None:
+                break
+            # the committed frontier_next count makes the isEmpty probe
+            # free except on the first round and the draining round
+            # (live submissions can refill an empty frontier)
+            if (rnd == start or state.get("frontier_next", 1) == 0) and frontier.isEmpty():
                 break
             state = self._run_round(rnd, frontier, state)
             frontier = self.store.read_snapshot("frontier", rnd + 1)

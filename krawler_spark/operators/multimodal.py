@@ -100,7 +100,7 @@ def sample_frames(
     here (stub); a real codec slots into the same generator."""
     import pandas as pd
 
-    schema = f"{id_col} long, frame_idx int, frame bytes"
+    schema = f"{id_col} long, frame_idx int, frame binary"
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -57,6 +57,20 @@ class SnapshotStore:
     def write_table(self, name: str, round_no: int, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(self._table_dir(name, round_no))
 
+    def write_rows_local(self, name: str, round_no: int, rows: list, schema) -> None:
+        """Driver-side write for tiny tables (metrics) — one pyarrow
+        file, no Spark job."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = self._table_dir(name, round_no)
+        os.makedirs(d, exist_ok=True)
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        table = pa.table(
+            {f.name: list(c) for f, c in zip(schema.fields, cols)}
+        )
+        pq.write_table(table, os.path.join(d, "part-0.parquet"))
+
     def commit_round(self, round_no: int, state: Optional[dict] = None) -> None:
         """Write the commit marker — tables must already be written."""
         payload = {"round": round_no, "state": state or {}}

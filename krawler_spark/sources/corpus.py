@@ -77,10 +77,18 @@ def _filler(i: int, j: int, n_words: int = 24) -> str:
     return " ".join(_WORDS[(base + k * 7919) % len(_WORDS)] for k in range(n_words))
 
 
-def _children(i: int, j: int, n_hosts: int, pages_per_host: int, hot_factor: int) -> List[Tuple[str, str]]:
-    """(href, style) pairs for page j of host i — arithmetic hash chain."""
+def _children(
+    i: int, j: int, n_hosts: int, pages_per_host: int, hot_factor: int,
+    avg_links: Optional[int] = None,
+) -> List[Tuple[str, str]]:
+    """(href, style) pairs for page j of host i — arithmetic hash chain.
+    ``avg_links=None`` keeps the tiny unit-test graph (2-4 links);
+    Common-Crawl-style benches pass ~40."""
     n_here = _pages_on_host(i, n_hosts, pages_per_host, hot_factor)
-    k = 2 + (i + j) % 3  # 2-4 children
+    if avg_links is None:
+        k = 2 + (i + j) % 3  # 2-4 children
+    else:
+        k = max(2, avg_links - 2 + (i + j) % 5)
     out: List[Tuple[str, str]] = []
     for c in range(k):
         tgt = (j * 7 + 13 * c + 1) % n_here
@@ -111,17 +119,22 @@ def build_page_row(
     pages_per_host: int,
     hot_factor: int = 10,
     with_redirects: bool = False,
+    avg_links: Optional[int] = None,
+    n_words: int = 24,
 ):
-    """One pages-table row as a plain tuple matching schemas.PAGES."""
+    """One pages-table row as a plain tuple matching schemas.PAGES.
+    Defaults give the tiny unit-test pages; ``avg_links≈40,
+    n_words≈400`` gives Common-Crawl-shaped pages (tens of KB, dozens
+    of out-links) for throughput benches."""
     host = host_name(i, n_hosts)
     url = page_url(host, j)
-    links = _children(i, j, n_hosts, pages_per_host, hot_factor)
+    links = _children(i, j, n_hosts, pages_per_host, hot_factor, avg_links)
     parts = [
         f"<html><head><title>{host} p{j}</title>",
         f'<script src="/app-{j % 5}.js"></script>' if j % 11 == 0 else "",
         "</head><body>",
         f"<h1>Page {j} of {host}</h1>",
-        f"<p>{_filler(i, j)}</p>",
+        f"<p>{_filler(i, j, n_words)}</p>",
     ]
     for n, (href, _style) in enumerate(links):
         parts.append(f'<a href="{href}">link {n}</a>')
@@ -169,10 +182,13 @@ def build_pages_local(
     n_hosts: int = 2,
     pages_per_host: int = 25,
     hot_factor: int = 10,
+    avg_links: Optional[int] = None,
+    n_words: int = 24,
 ) -> list:
     """Pure-Python corpus rows (url, warc_ts, html, text, lang)."""
     rows = [
-        build_page_row(i, j, n_hosts, pages_per_host, hot_factor)
+        build_page_row(i, j, n_hosts, pages_per_host, hot_factor,
+                       avg_links=avg_links, n_words=n_words)
         for i, j in corpus_layout(n_hosts, pages_per_host, hot_factor)
     ]
     rows.extend(_robots_rows(n_hosts))
@@ -185,6 +201,8 @@ def build_pages_spark(
     pages_per_host: int,
     hot_factor: int = 10,
     partitions: Optional[int] = None,
+    avg_links: Optional[int] = None,
+    n_words: int = 24,
 ):
     """Distributed corpus generation: one Spark task per slice of the
     (host, page) layout; the driver never materializes page HTML."""
@@ -209,7 +227,8 @@ def build_pages_spark(
                 else:
                     i = n_hosts - 1
                     j = k - (n_hosts - 1) * pages_per_host
-                rows.append(build_page_row(i, j, n_hosts, pages_per_host, hot_factor))
+                rows.append(build_page_row(i, j, n_hosts, pages_per_host, hot_factor,
+                                           avg_links=avg_links, n_words=n_words))
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
     pages = idx.mapInPandas(_gen, schema=PAGES)

@@ -38,15 +38,24 @@ def main() -> None:
     ap.add_argument("--hosts", type=int, default=64)
     ap.add_argument("--pages", type=int, default=3000)
     ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="repetitions per config; min is kept (the host "
+                    "is shared — noise waves only ever slow a run down)")
     args = ap.parse_args()
 
-    results = {}
-    for cpus in (args.n, args.n * 4):
-        t0 = time.time()
-        results[cpus] = run_bench(cpus, args.hosts, args.pages)
-        print(f"cpus={cpus}: {json.dumps(results[cpus]['crawl'])} "
-              f"(bench wall {time.time()-t0:.0f}s)", flush=True)
+    # interleave configs across reps so a noise wave hits both equally
+    runs: dict[int, list] = {args.n: [], args.n * 4: []}
+    for rep in range(args.reps):
+        for cpus in (args.n, args.n * 4):
+            t0 = time.time()
+            r = run_bench(cpus, args.hosts, args.pages)
+            runs[cpus].append(r)
+            print(f"rep{rep} cpus={cpus}: {json.dumps(r['crawl'])} "
+                  f"(bench wall {time.time()-t0:.0f}s)", flush=True)
 
+    results = {
+        c: min(rs, key=lambda r: r["crawl"]["sec"]) for c, rs in runs.items()
+    }
     lo, hi = results[args.n]["crawl"], results[args.n * 4]["crawl"]
     speedup = lo["sec"] / hi["sec"]
     eff = speedup / 4
@@ -60,9 +69,11 @@ executors**. No real cluster exists in this sandbox, so per the task
 directive the evidence is the same job at two parallelism levels —
 `local[{args.n}]` vs `local[{args.n * 4}]` — on the same deterministic
 synthetic corpus ({args.hosts} hosts × {args.pages} pages/host +
-10× hot host; full-corpus frontier seed; 2 BSP rounds; bloom-probed
-URL-seen; JVM robots gate; politeness budget non-binding so the engine
-DAG is what's measured).
+10× hot host, Common-Crawl-shaped pages; full-corpus frontier seed;
+2 BSP rounds; bloom-probed URL-seen; JVM robots gate; politeness
+budget non-binding so the engine DAG is what's measured). The sandbox
+shares a host with other tenants (CPU-steal waves observed), so each
+config runs {args.reps}× interleaved and the minimum is reported.
 
 | config | round-loop sec | fetched | deduped | urls/sec |
 |---|---|---|---|---|

@@ -132,7 +132,8 @@ def test_resume_no_refetch(spark, tmp_path):
 def test_bloom_and_exact_paths_agree(spark, tmp_path):
     rows, _ = _corpus()
     cfg_b = CrawlConfig(max_depth=3, round_seconds=1.0, use_bloom=True,
-                        bloom_bits_per_bucket=1 << 14, bloom_buckets=8)
+                        bloom_bits_per_bucket=1 << 14, bloom_buckets=8,
+                        bloom_activation_rows=0)  # force the probe path
     cfg_e = CrawlConfig(max_depth=3, round_seconds=1.0, use_bloom=False)
     e1 = _run_engine(spark, str(tmp_path / "b"), rows, cfg_b)
     e2 = _run_engine(spark, str(tmp_path / "e"), rows, cfg_e)

@@ -1,0 +1,116 @@
+"""Structured Streaming operators: stateful politeness clock, live
+submitUrls ingestion, watermarked rollup parity with the batch twin."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_events_rollup_batch_parity(spark):
+    """The streaming rollup plan, applied to a batch frame, must agree
+    with the plain groupBy the oracle checks (window start ≡
+    date_trunc hour)."""
+    from krawler_spark.streaming.rollup import events_rollup
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_c"])
+        for r in events_rollup(events).collect()
+    }
+    cents = F.round(F.col("value") * 100).cast("long")
+    expect = {
+        (r["ws"], r["event_type"]): (r["n"], r["s"])
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s")).collect()
+    }
+    assert got == expect
+
+
+def test_politeness_decisions_stateful(spark, tmp_path):
+    """Requests.kt politeness law as a streaming stateful operator:
+    N requests to one host are granted ≥ delay apart; an uncontended
+    host is granted immediately."""
+    from krawler_spark.streaming.rollup import politeness_decisions
+
+    src = tmp_path / "req"
+    src.mkdir()
+    rows = [{"host": "a.com", "url": f"http://a.com/{i}", "req_ts": 100.0} for i in range(5)]
+    rows.append({"host": "b.com", "url": "http://b.com/0", "req_ts": 100.0})
+    (src / "batch0.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("host string, url string, req_ts double")
+        .json(str(src))
+    )
+    q = (
+        politeness_decisions(stream)
+        .writeStream.format("memory")
+        .queryName("pol_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select * from pol_out").collect()
+    finally:
+        q.stop()
+
+    a = sorted(r["allowed_ts"] for r in out if r["host"] == "a.com")
+    assert len(a) == 5
+    for earlier, later in zip(a, a[1:]):
+        assert later - earlier >= 0.2 - 1e-9  # politenessDelay spacing
+    b = [r["allowed_ts"] for r in out if r["host"] == "b.com"]
+    assert b == [100.0]  # uncontended host granted at request time
+
+
+def test_submit_urls_live_enqueue(spark, tmp_path):
+    """Krawler.submitUrls (§3.2): staged URLs are drained at the next
+    round boundary and crawled."""
+    from krawler_spark.config import CrawlConfig
+    from krawler_spark.engine import CrawlEngine
+    from krawler_spark.schemas import PAGES
+    from krawler_spark.sources.corpus import build_pages_local
+
+    rows = build_pages_local(n_hosts=2, pages_per_host=6)
+    pages = spark.createDataFrame(rows, PAGES)
+    eng = CrawlEngine(
+        spark, pages, config=CrawlConfig(max_depth=1),
+        warehouse=str(tmp_path / "wh"),
+    )
+    target = "http://www.site-0.com/p/5.html"
+    eng.submit_urls([target])
+    eng.run(["http://www.site-0.com/p/0.html"])
+    vis = {r["url"] for r in eng.visited().collect()}
+    assert target in vis  # submitted URL crawled despite depth limit on links
+
+
+def test_submissions_stream_stages_rows(spark, tmp_path):
+    """File-source URL stream → canonicalized staging parquet."""
+    from krawler_spark.streaming.rollup import submissions_stream
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "urls0.json").write_text(
+        "\n".join(
+            json.dumps({"url": u, "seed_order": i})
+            for i, u in enumerate(
+                ["HTTP://WWW.Example.COM:80/a/../B%3a", "http://other.org/x"]
+            )
+        )
+    )
+    staging = str(tmp_path / "staged")
+    q = submissions_stream(spark, str(inp), staging, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["url"]: r for r in spark.read.parquet(staging).collect()}
+    # reference quirk: /../ drops the dot-segment but NOT the
+    # preceding segment (KrawlUrl.kt:259-266)
+    assert "http://www.example.com/a/B%3A" in got
+    assert got["http://other.org/x"]["host"] == "other.org"

@@ -1,0 +1,155 @@
+"""Training-data operator tests (operators/textops.py) — small
+deterministic frames, one shared Spark session."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from krawler_spark.operators import textops as T
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+    (2, "the quick brown fox jumps over the sleepy dog"),      # near dup
+    (3, "der hund und die katze sind nicht ein team und das"),
+    (4, "completely different text about spark and parquet files"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["text_hash"]: r for r in T.exact_dedup(docs).collect()}
+    assert len(out) == 5  # 0 and 1 collapse
+    dup = [r for r in out.values() if r["dup_count"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0
+
+
+def test_minhash_identical_and_near(spark, docs):
+    sigs = {r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"])
+            for r in T.minhash_signatures(docs, k=4).collect()}
+    assert sigs[0] == sigs[1]                      # identical text
+    shared = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert shared >= 1                             # near-dup shares some mins
+    assert sigs[0] != sigs[4]
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in T.minhash_lsh_pairs(docs, k=4, bands=2).collect()}
+    assert (0, 1) in pairs
+    assert (0, 4) not in pairs and (1, 4) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in T.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.1 <= pairs[(0, 2)] < 1.0
+
+
+def test_simhash_hamming(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in T.simhash64(docs).collect()}
+    assert sh[0] == sh[1]
+    ham_near = bin((sh[0] ^ sh[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sh[0] ^ sh[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far
+    assert sh[5] == 0  # empty text
+
+
+def test_token_count_and_quality(spark, docs):
+    tc = {r["doc_id"]: r["n_words"] for r in T.token_count(docs).collect()}
+    assert tc[0] == 9
+    q = {r["doc_id"]: r for r in T.quality_scores(docs.filter("doc_id < 5")).collect()}
+    assert q[0]["n_words"] == 9
+    assert 0 < q[0]["alpha_ratio"] <= 1
+    assert q[0]["stopword_ratio"] > q[4]["stopword_ratio"]
+
+
+def test_langid(spark, docs):
+    lg = {r["doc_id"]: r["lang_guess"] for r in T.langid(docs).collect()}
+    assert lg[0] == "en"
+    assert lg[3] == "de"
+    assert lg[5] == "und"
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  world"), (1, " hello world ")], "doc_id long, text string"
+    )
+    fps = [r["fp"] for r in T.fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], i % 2) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = T.cosine_topk(emb, query_ids=[0], k=3).collect()
+    got = [(r["n_id"], r["cos"]) for r in sorted(out, key=lambda r: r["rnk"])]
+
+    v = vecs.astype("float64")
+    cos = v @ v[0] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    cos[0] = -9
+    expect = sorted(range(20), key=lambda i: (-round(cos[i], 4), i))[:3]
+    assert [g[0] for g in got] == expect
+
+
+def test_lsh_ann_returns_bucket_neighbors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(8)
+    rows = []
+    for i in range(30):
+        noise = rng.randn(8) * (0.01 if i < 15 else 10.0)
+        v = base + noise
+        rows.append((i, [float(x) for x in v], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = T.lsh_bucketed_ann(emb, query_ids=[0], k=5, planes=4).collect()
+    assert len(out) > 0
+    # near-identical vectors share the hyperplane bucket → neighbors are from the tight cluster
+    assert all(r["n_id"] < 15 for r in out)
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [1.0, 0.0, 0.0], 1),  # other block — never paired with 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r["id_a"], r["id_b"]) for r in T.embedding_neardup_pairs(emb, threshold=0.99).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs and (0, 3) not in pairs
+
+
+def test_multimodal_plumbing(spark):
+    from krawler_spark.operators.multimodal import extract_features, sample_frames, sniff_media_type
+
+    rows = [(0, b"\x89PNG1234" + b"x" * 64), (1, b"\xff\xd8\xffrest"), (2, b"plain bytes")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sniffed = {r["doc_id"]: r["media_type"] for r in sniff_media_type(df).collect()}
+    assert sniffed[0] == "image/png" and sniffed[1] == "image/jpeg"
+    assert sniffed[2] == "application/octet-stream"
+
+    feats = {r["doc_id"]: r for r in extract_features(df, deterministic_fake=True).collect()}
+    assert all(len(r["features"]) == 16 and r["decode_ok"] for r in feats.values())
+    # deterministic: same payload → same features
+    again = {r["doc_id"]: r for r in extract_features(df, deterministic_fake=True).collect()}
+    assert feats[0]["features"] == again[0]["features"]
+
+    frames = sample_frames(df).collect()
+    assert len(frames) > 0 and {f["frame_idx"] for f in frames} <= {0, 1, 2, 3}
+
+
+def test_multimodal_decode_stub_raises():
+    from krawler_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....")
