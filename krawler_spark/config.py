@@ -50,7 +50,7 @@ class CrawlConfig:
     bloom_activation_rows: int = 2_000_000
     use_bloom: bool = True
     frontier_partitions: int = 32       # hash(host) shards ≈ ScheduledQueue's 10 queues
-    host_salt: int = 4                  # salting factor for hot-host skew
+    host_salt: int = 1                  # >1 = salted two-phase politeness rank (hot hosts)
 
     @property
     def per_host_budget(self) -> int:

@@ -304,14 +304,35 @@ class CrawlEngine:
         fetchable = wanted.filter(F.col("_allowed")).drop("_allowed")
 
         # --- 6. politeness: per-host admission rank ---------------------------
+        # Hot-host skew mitigation (ScheduledQueue affinity → salting,
+        # north_rule): when host_salt > 1, a salted pre-rank caps each
+        # (host, salt) bucket at `budget` rows — any row ranked past the
+        # budget within its bucket cannot be in the host's global top-k,
+        # so the final per-host sort sees ≤ budget×salt rows instead of
+        # the host's full batch.
         w_host = Window.partitionBy("host").orderBy(*_pop_order())
-        fetchable = fetchable.withColumn("_ph", F.row_number().over(w_host))
-        admitted = fetchable.filter(F.col("_ph") <= budget).drop("_ph")
-        deferred = (
-            fetchable.filter(F.col("_ph") > budget)
-            .drop("_ph", "_visit", "_check")
-            .select(*[f.name for f in schemas.FRONTIER.fields])
-        )
+        if cfg.host_salt > 1:
+            w_salted = Window.partitionBy(
+                "host", F.pmod(F.xxhash64("url"), F.lit(cfg.host_salt))
+            ).orderBy(*_pop_order())
+            pre = fetchable.withColumn("_pr", F.row_number().over(w_salted)).filter(
+                F.col("_pr") <= budget
+            ).drop("_pr")
+            ranked_h = pre.withColumn("_ph", F.row_number().over(w_host))
+            admitted = ranked_h.filter(F.col("_ph") <= budget).drop("_ph")
+            deferred = (
+                fetchable.join(admitted.select("url"), "url", "left_anti")
+                .drop("_visit", "_check")
+                .select(*[f.name for f in schemas.FRONTIER.fields])
+            )
+        else:
+            fetchable = fetchable.withColumn("_ph", F.row_number().over(w_host))
+            admitted = fetchable.filter(F.col("_ph") <= budget).drop("_ph")
+            deferred = (
+                fetchable.filter(F.col("_ph") > budget)
+                .drop("_ph", "_visit", "_check")
+                .select(*[f.name for f in schemas.FRONTIER.fields])
+            )
 
         # --- 8. fetch = left join vs corpus -----------------------------------
         fetched = admitted.join(
@@ -695,6 +716,23 @@ class CrawlEngine:
         self.store.write_table("frontier", rnd, kept)
         kept.unpersist()
         return int(before - after)
+
+    def clear_history(self, before_round: int) -> int:
+        """O20: ``clearHistory(beforeTime)`` (History/Dao.kt:72-78) —
+        drop URL-seen rows older than a round, freeing them for
+        re-crawl. Round-granular: whole history deltas are retired.
+        Stale bloom bits only ever cause false *positives*, which fall
+        through to the exact anti-join — correctness unaffected."""
+        import shutil as _sh
+
+        last = self.store.last_committed()
+        if last is None:
+            return 0
+        removed = 0
+        for d in self.store.delta_dirs("history", min(before_round - 1, last)):
+            removed += int(self.spark.read.parquet(d).count())
+            _sh.rmtree(d, ignore_errors=True)
+        return removed
 
     # ------------------------------------------------------------------ reads
     def visited(self, upto_round: Optional[int] = None) -> Optional[DataFrame]:

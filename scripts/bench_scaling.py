@@ -29,8 +29,11 @@ def run_bench(cpus: int, hosts: int, pages: int) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stderr[-4000:] + "\n")
+        raise RuntimeError(f"bench.py produced no JSON at cpus={cpus}")
+    return json.loads(lines[-1])
 
 
 def main() -> None:

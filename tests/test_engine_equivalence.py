@@ -150,3 +150,26 @@ def test_extracted_text_byte_identical(spark, warehouse):
     eng = _run_engine(spark, warehouse, rows, cfg)
     for r in eng.visited().collect():
         assert r["text"] == pages_dict[r["url"]]["text"]
+
+
+def test_salted_politeness_equivalence(spark, warehouse):
+    """host_salt>1 (two-phase top-k, hot-host skew path) must be
+    semantically invisible — same visited set/order as the oracle."""
+    rows, pages_dict = _corpus()
+    cfg = CrawlConfig(max_depth=3, politeness_delay_ms=500, round_seconds=1.0,
+                      host_salt=4)  # budget 2/host/round, salted rank
+    oracle_res = crawl_oracle(default_seeds(N_HOSTS), pages_dict, cfg)
+    eng = _run_engine(spark, warehouse, rows, cfg)
+    _assert_equivalent(eng, oracle_res)
+
+
+def test_clear_history_frees_urls(spark, warehouse):
+    """O20: cleared rounds disappear from the URL-seen set."""
+    rows, _ = _corpus()
+    cfg = CrawlConfig(max_depth=2, round_seconds=1.0)
+    eng = _run_engine(spark, warehouse, rows, cfg)
+    before = eng.history().count()
+    removed = eng.clear_history(before_round=1)  # retire round 0
+    assert removed > 0
+    after = eng.history().count()
+    assert after == before - removed
