@@ -58,7 +58,7 @@ def crawl_bench(spark, hosts: int, pages_per_host: int) -> dict:
     avg_links = int(os.environ.get("KS_BENCH_LINKS", "40"))
     n_words = int(os.environ.get("KS_BENCH_WORDS", "300"))
     corpus_dir = os.path.join(
-        tempfile.gettempdir(),
+        "/tmp",  # page-cached read-only input; keep off the tmpfs TMPDIR
         f"ks_bench_corpus_h{hosts}_p{pages_per_host}_l{avg_links}_w{n_words}",
     )
     if not os.path.isdir(corpus_dir):

@@ -36,17 +36,16 @@ from __future__ import annotations
 import os
 import time
 import zlib
-from typing import Callable, Dict, Iterator, List, Optional
+from typing import Iterator, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .config import CrawlConfig
 from .functions.extract import extract_links
-from .functions.kanon import parse_url, parse_struct_frame
-from .functions.robots import eval_frame
+from .functions.kanon import parse_url
 from .operators import bloom as bloom_ops
-from .oracle import REDIRECT_CODES, child_seq
+from .oracle import child_seq
 from .plans.store import SnapshotStore
 from . import schemas
 
@@ -147,7 +146,7 @@ class CrawlEngine:
         through the driver: ``seeds(url, seed_order)`` → frontier rows
         with root_page_id = seed_order, canonicalized in an Arrow batch
         UDF (no driver materialization — the 10^10-URL path)."""
-        from .functions.kanon import canonicalize_series, parse_struct_frame
+        from .functions.kanon import parse_struct_frame
 
         def _seed(batches: Iterator) -> Iterator:
             import pandas as pd
@@ -572,6 +571,16 @@ class CrawlEngine:
         # commit only after all complete.
         from concurrent.futures import ThreadPoolExecutor
 
+        def _retry(fn, *args):
+            # AQE occasionally races when sibling threads execute actions
+            # over shared cached sub-plans (SparkPlan.session NPE in
+            # resetMetrics); one retry re-plans cleanly.
+            try:
+                return fn(*args)
+            except Exception:
+                time.sleep(1.0)
+                return fn(*args)
+
         def _w_history() -> int:
             self.store.write_table("history", rnd, hist_delta)
             n = hist_delta.count()
@@ -596,12 +605,12 @@ class CrawlEngine:
             ).first()
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            f_hist = pool.submit(_w_history)
-            f_front = pool.submit(_w_frontier)
-            f_vis = pool.submit(self.store.write_table, "visited", rnd, visited_out)
-            f_host = pool.submit(self.store.write_table, "host_state", rnd, host_counts)
-            f_ev = pool.submit(self.store.write_table, "events", rnd, events)
-            f_agg = pool.submit(_agg_counts)
+            f_hist = pool.submit(_retry, _w_history)
+            f_front = pool.submit(_retry, _w_frontier)
+            f_vis = pool.submit(_retry, self.store.write_table, "visited", rnd, visited_out)
+            f_host = pool.submit(_retry, self.store.write_table, "host_state", rnd, host_counts)
+            f_ev = pool.submit(_retry, self.store.write_table, "events", rnd, events)
+            f_agg = pool.submit(_retry, _agg_counts)
             hist_ct = f_hist.result()
             frontier_ct = f_front.result()
             agg = f_agg.result()
