@@ -34,10 +34,11 @@ class CrawlConfig:
     round_seconds: float = 10.0         # nominal round length → politeness budget
     max_rounds: int = 1_000             # hard stop for the driver loop
     # True: history ids are sequential in pop order (oracle-exact; costs
-    # one single-partition window over the round's delta). False: ids are
-    # xxhash64(url) — deterministic and unique w.h.p., no global ordering
-    # stage; the right choice at 10^10-URL scale.
-    deterministic_history_ids: bool = True
+    # one single-partition window over the round's delta — test mode
+    # only). False (default): ids are xxhash64(url) — deterministic and
+    # unique w.h.p., no global ordering stage; the right choice at
+    # 10^10-URL scale. The equivalence suite opts into True explicitly.
+    deterministic_history_ids: bool = False
     # Bloom shards (O9 at scale): size bits to ~16× the expected URL
     # count for ~1e-4 FP with k=7 (FPs only cost an extra exact check —
     # never correctness). 64 × 2^17 bits = 1 MiB of broadcast.

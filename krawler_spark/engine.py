@@ -14,21 +14,32 @@ as one Catalyst-planned DataFrame DAG per round:
 
 Scale decisions (graded against the north rule):
 
-* the frontier is hash-partitioned by ``host`` — the politeness window
-  and the admission rank never shuffle twice; hot hosts are bounded by
-  the per-host budget itself (at most ``budget`` rows per host survive
-  admission, so the fetch join is skew-capped by construction) and AQE
-  skew-join handles the pre-admission window skew.
-* the history anti-join is bloom-prefiltered map-side
-  (``operators/bloom.py``); only maybe-seen candidates shuffle.
+* ONE materializing Spark job per round: every output row (visited,
+  history-consumed noops, events, harvested children, deferred queue
+  rows) is a branch of a single union written once, hive-partitioned
+  by ``kind`` (``plans/store.py``). The logical tables — history,
+  visited, events, frontier@r+1 — are partition-pruned views of that
+  delta, so nothing is materialized twice and no cross-job cache
+  thrash exists. Shared subtrees dedupe at the shuffle layer
+  (ReusedExchange); only the two genuinely hot frames (the bloom-probe
+  output and the fetch-join output) are explicitly persisted.
+* the frontier is hash-partitioned by ``host`` for the politeness
+  window; hot hosts are bounded by the per-host budget itself (at most
+  ``budget`` rows per host survive admission, so the fetch join is
+  skew-capped by construction) and AQE skew-join handles the
+  pre-admission window skew (``host_salt>1`` adds a salted two-phase
+  rank for pathological hosts).
+* the history anti-join is bloom-prefiltered with bucket-co-partitioned
+  shards (``operators/bloom.py``); only maybe-seen candidates flow into
+  the exact anti-join, and shard bytes never transit the driver.
 * all string work (canonicalize, harvest, robots eval) is
   Arrow-batched pandas — zero per-row Python at the plan level.
-* global-order windows are used ONLY when a feature demands a total
-  order (totalPages budget, history id assignment) and only over the
-  round's *delta* (admitted rows), never the frontier.
-* every round ends in an atomic multi-table snapshot commit
-  (``plans/store.py``); a killed job resumes from the marker with no
-  re-fetches (north_rule).
+* global-order windows exist ONLY in oracle-exact test modes
+  (``deterministic_history_ids``, ``total_pages``) and only over the
+  round's *delta* — the scale default assigns history ids as
+  ``xxhash64(url)`` with no global ordering stage.
+* every round ends in an atomic commit marker (``plans/store.py``); a
+  killed job resumes from the marker with no re-fetches (north_rule).
 """
 
 from __future__ import annotations
@@ -40,19 +51,48 @@ from typing import Iterator, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .config import CrawlConfig
 from .functions.extract import extract_links
 from .functions.kanon import parse_url
 from .operators import bloom as bloom_ops
 from .oracle import child_seq
-from .plans.store import SnapshotStore
+from .plans.store import HIST_KINDS, SnapshotStore
 from . import schemas
+
+_FF = [f.name for f in schemas.FRONTIER.fields]
+
+# extra delta columns beyond the frontier fields (kind is the partition col)
+_DELTA_EXTRA = [
+    ("id", "long"),
+    ("host_seq", "int"),
+    ("action", "string"),
+    ("status", "int"),
+    ("counting", "boolean"),
+    ("text", "string"),
+    ("lang", "string"),
+    ("detail", "string"),
+]
+
 
 def _pop_order():
     """The total pop order K = (priority, enq_round, seq, url)."""
     return [F.col("priority").asc(), F.col("enq_round").asc(),
             F.col("seq").asc(), F.col("url").asc()]
+
+
+def _to_delta(df: DataFrame, kind: str, **cols) -> DataFrame:
+    """Project a branch frame onto the unified delta schema."""
+    out = df
+    for name, typ in _DELTA_EXTRA:
+        if name in cols:
+            out = out.withColumn(name, cols[name])
+        elif name not in out.columns:
+            out = out.withColumn(name, F.lit(None).cast(typ))
+    return out.select(*_FF, *[n for n, _ in _DELTA_EXTRA]).withColumn(
+        "kind", F.lit(kind)
+    )
 
 
 class _Timer:
@@ -95,9 +135,9 @@ class CrawlEngine:
         self.priority_expr = priority_expr
         self.redirects = redirects
 
-        # The corpus never changes across rounds: partition it once by
-        # url so every round's fetch join reuses the layout. On a real
-        # cluster this is an Iceberg table bucketed by url.
+        # The corpus never changes across rounds. On a real cluster this
+        # is an Iceberg table bucketed by url so the per-round fetch join
+        # is a storage-partitioned join (no corpus re-shuffle).
         self.pages = pages
 
         # Robots bodies are parsed ONCE per crawl (python, tiny input) into
@@ -188,27 +228,28 @@ class CrawlEngine:
         df = self.spark.createDataFrame(rows, schemas.FRONTIER)
         df.write.mode("append").parquet(os.path.join(self.store.path, "submissions"))
 
-    def _drain_submissions(self, rnd: int, frontier: DataFrame) -> DataFrame:
+    def _drain_submissions(self, rnd: int) -> Optional[DataFrame]:
+        """Move staged submissions into this round's consumed dir (an
+        atomic per-file rename — no Spark job) and return them as a
+        frontier-shaped frame. Idempotent across a crash/resume of the
+        same round: the consumed dir is re-read, never re-consumed."""
         sub_dir = os.path.join(self.store.path, "submissions")
-        if not os.path.isdir(sub_dir) or not any(
-            f.endswith(".parquet") for f in os.listdir(sub_dir)
+        consumed = os.path.join(self.store.path, f"submissions_r{rnd}_consumed")
+        if os.path.isdir(sub_dir):
+            staged_files = [f for f in os.listdir(sub_dir) if f.endswith(".parquet")]
+            if staged_files:
+                os.makedirs(consumed, exist_ok=True)
+                for f in staged_files:
+                    os.replace(os.path.join(sub_dir, f), os.path.join(consumed, f))
+        if not os.path.isdir(consumed) or not any(
+            f.endswith(".parquet") for f in os.listdir(consumed)
         ):
-            return frontier
-        staged = self.spark.read.parquet(sub_dir).withColumn(
-            "enq_round", F.lit(rnd)
-        ).select(*[f.name for f in schemas.FRONTIER.fields])
-        merged = frontier.unionByName(staged) if frontier is not None else staged
-        # fold into this round's frontier snapshot: write to a side dir,
-        # then swap — never overwrite a directory the plan is reading
-        import shutil as _sh
-
-        final_dir = self.store._table_dir("frontier", rnd)
-        tmp_dir = final_dir + ".merged"
-        merged.write.mode("overwrite").parquet(tmp_dir)
-        _sh.rmtree(final_dir, ignore_errors=True)
-        os.replace(tmp_dir, final_dir)
-        _sh.move(sub_dir, os.path.join(self.store.path, f"submissions_r{rnd}_consumed"))
-        return self.store.read_snapshot("frontier", rnd)
+            return None
+        return (
+            self.spark.read.parquet(consumed)
+            .withColumn("enq_round", F.lit(rnd))
+            .select(*_FF)
+        )
 
     # ------------------------------------------------------------- round DAG
     def _run_round(self, rnd: int, frontier: DataFrame, state: dict) -> dict:
@@ -220,7 +261,6 @@ class CrawlEngine:
         # No upfront repartition: the dedup window shuffles by url and the
         # politeness window by host — Catalyst inserts exactly those two
         # exchanges; a forced repartition would add a third for nothing.
-        frontier.cache()
 
         # --- 1. depth cut (consumed, no history insert) --------------------
         if cfg.max_depth != -1:
@@ -231,40 +271,68 @@ class CrawlEngine:
             depth_cut = None
             live = frontier
 
-        # --- 2. in-batch dedup: first pop wins ------------------------------
-        w_url = Window.partitionBy("url").orderBy(*_pop_order())
-        ranked = live.withColumn("rn", F.row_number().over(w_url))
-        keep = ranked.filter(F.col("rn") == 1).drop("rn").cache()
-        dup_events = ranked.filter(F.col("rn") > 1).drop("rn")
-
-        # --- 3. URL-seen: bloom prefilter + exact anti-join ------------------
-        history = self.store.read_deltas("history", rnd - 1)
-        probed = None
+        # --- 3 then 2: URL-seen BEFORE in-batch dedup -------------------------
+        # In a steady-state round most frontier rows point at already-
+        # crawled urls; checking URL-seen FIRST lets them exit as repeat
+        # events without ever entering the dedup window, so the window
+        # (the round's big sort) runs only over the unseen residue.
+        # Semantics are unchanged versus the oracle's dedup-then-history
+        # order: seen rows become repeat events either way, and the min-K
+        # winner among an unseen url's copies doesn't depend on when seen
+        # urls left the batch. The exact check is a left join against the
+        # history view — Catalyst broadcasts it while it fits
+        # (autoBroadcastJoinThreshold ⇒ map-side, NO candidate shuffle);
+        # past the bloom activation threshold the probe prefilters
+        # map-side and only maybe-seen candidates join at all.
+        history = self.store.read_history(rnd - 1)
         bloom_active = cfg.use_bloom and (
             state.get("history_rows", 0) >= cfg.bloom_activation_rows
         )
+        probed = None
         if history is not None:
+            hist_urls = history.select("url").withColumn("_seen_h", F.lit(True))
             if bloom_active:
-                shards = self.store.read_snapshot("bloom", rnd - 1)
+                shard_dir = self.store._table_dir("bloom", rnd - 1)
+                # persist the probe output (a python stage) — its two
+                # consumers must not replay the pandas probe
                 probed = bloom_ops.probe(
-                    spark, keep, shards, cfg.bloom_buckets, cfg.bloom_bits_per_bucket
-                ).cache()
+                    live, shard_dir, cfg.bloom_buckets, cfg.bloom_bits_per_bucket
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                # bloom-negative rows skip the exact join entirely: only
+                # maybe-seen candidates join against history.
                 fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
                 maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-                hist_urls = history.select("url")
-                new = fresh.unionByName(maybe.join(hist_urls, "url", "left_anti"))
-                repeats = maybe.join(hist_urls, "url", "left_semi")
+                seen_marked = fresh.withColumn("_seen", F.lit(False)).unionByName(
+                    maybe.join(hist_urls, "url", "left").withColumn(
+                        "_seen", F.coalesce(F.col("_seen_h"), F.lit(False))
+                    ).drop("_seen_h")
+                )
             else:
-                hist_urls = history.select("url")
-                new = keep.join(hist_urls, "url", "left_anti")
-                repeats = keep.join(hist_urls, "url", "left_semi")
+                # broadcast-joined marker: map-side, cheap to replay — NOT
+                # persisted (caching the full frontier would cost more than
+                # the replay; the unseen residue is persisted as `ranked`)
+                seen_marked = live.join(hist_urls, "url", "left").withColumn(
+                    "_seen", F.coalesce(F.col("_seen_h"), F.lit(False))
+                ).drop("_seen_h")
+            unseen = seen_marked.filter(~F.col("_seen")).drop("_seen")
+            repeats = seen_marked.filter(F.col("_seen")).drop("_seen")
         else:
-            new, repeats = keep, None
+            unseen, repeats = live, None
+
+        # --- 2. in-batch dedup over the unseen residue: first pop wins -------
+        # `ranked` is one of the four persisted chain frames: every branch
+        # of the round delta derives from one of them, and a single
+        # materializing pass (the fetched.count() below) computes the
+        # heavy chain exactly once — branch tails replayed during the
+        # write job are narrow ops over these caches.
+        w_url = Window.partitionBy("url").orderBy(*_pop_order())
+        ranked = unseen.withColumn("rn", F.row_number().over(w_url)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        new = ranked.filter(F.col("rn") == 1).drop("rn")
+        dup_events = ranked.filter(F.col("rn") > 1).drop("rn")
 
         # --- 4+5. predicates + robots gate -----------------------------------
-        # One cached "gated" frame carries the predicate + robots verdicts;
-        # every downstream branch (noops, fetchable, deferred, events) is a
-        # cheap filter over it instead of a DAG replay.
         new = new.withColumn("_visit", F.expr(self.should_visit)).withColumn(
             "_check", F.expr(self.should_check)
         )
@@ -295,7 +363,6 @@ class CrawlEngine:
             )
         else:
             gated = new.withColumn("_allowed", F.lit(True))
-        gated = gated.cache()
 
         filtered_out = gated.filter(~F.col("_visit") & ~F.col("_check"))
         wanted = gated.filter(F.col("_visit") | F.col("_check"))
@@ -317,20 +384,24 @@ class CrawlEngine:
             pre = fetchable.withColumn("_pr", F.row_number().over(w_salted)).filter(
                 F.col("_pr") <= budget
             ).drop("_pr")
-            ranked_h = pre.withColumn("_ph", F.row_number().over(w_host))
-            admitted = ranked_h.filter(F.col("_ph") <= budget).drop("_ph")
+            ph = pre.withColumn("_ph", F.row_number().over(w_host)).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            admitted = ph.filter(F.col("_ph") <= budget).drop("_ph")
             deferred = (
                 fetchable.join(admitted.select("url"), "url", "left_anti")
                 .drop("_visit", "_check")
-                .select(*[f.name for f in schemas.FRONTIER.fields])
+                .select(*_FF)
             )
         else:
-            fetchable = fetchable.withColumn("_ph", F.row_number().over(w_host))
-            admitted = fetchable.filter(F.col("_ph") <= budget).drop("_ph")
+            ph = fetchable.withColumn("_ph", F.row_number().over(w_host)).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            admitted = ph.filter(F.col("_ph") <= budget).drop("_ph")
             deferred = (
-                fetchable.filter(F.col("_ph") > budget)
+                ph.filter(F.col("_ph") > budget)
                 .drop("_ph", "_visit", "_check")
-                .select(*[f.name for f in schemas.FRONTIER.fields])
+                .select(*_FF)
             )
 
         # --- 8. fetch = left join vs corpus -----------------------------------
@@ -358,38 +429,36 @@ class CrawlEngine:
         )
 
         # --- 7. totalPages budget: global-K cumulative cut over the DELTA ----
-        # Only materialized when a budget is set; the window spans just the
-        # round's consumed rows (noops + admitted), not the frontier.
-        noops = filtered_out.select(
-            *[f.name for f in schemas.FRONTIER.fields],
-            F.lit("filtered").alias("_noopkind"),
-        )
-        if denied is not None:
-            noops = noops.unionByName(
-                denied.select(
-                    *[f.name for f in schemas.FRONTIER.fields],
-                    F.lit("robots_denied").alias("_noopkind"),
-                )
-            )
-
+        # Only materialized when a budget is set (oracle-exact test mode);
+        # the window spans just the round's consumed rows, never the
+        # frontier. The scale default (-1) adds zero stages here.
         hist_extra = None
+        precut_fetched = None
         if cfg.total_pages != -1:
             remaining = cfg.total_pages - state.get("counted", 0)
-            fetched = fetched.cache()
+            precut_fetched = fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
             counting_total = fetched.filter(F.col("_counting")).count()
             # oracle semantics: exhaustion fires only when a counting row
             # actually falls beyond the budget (the serial loop breaks at
             # that row); rows before it — including noops — still process.
             will_exhaust = counting_total > remaining
-            merged = fetched.select(
+            noops_k = fetched.select(
                 "url", "priority", "enq_round", "seq", "_counting"
             ).unionByName(
-                noops.select(
-                    "url", "priority", "enq_round", "seq", F.lit(False).alias("_counting")
+                filtered_out.select(
+                    "url", "priority", "enq_round", "seq",
+                    F.lit(False).alias("_counting"),
                 )
             )
+            if denied is not None:
+                noops_k = noops_k.unionByName(
+                    denied.select(
+                        "url", "priority", "enq_round", "seq",
+                        F.lit(False).alias("_counting"),
+                    )
+                )
             w_all = Window.orderBy(*_pop_order()).rowsBetween(Window.unboundedPreceding, 0)
-            merged = merged.withColumn(
+            merged = noops_k.withColumn(
                 "_cum", F.sum(F.col("_counting").cast("long")).over(w_all)
             )
             cut = merged.filter(F.col("_cum") <= remaining).select("url")
@@ -400,38 +469,24 @@ class CrawlEngine:
             hist_extra = merged.filter(
                 F.col("_counting") & (F.col("_cum") == remaining + 1)
             ).select("url", "priority", "enq_round", "seq")
-            fetched = fetched.join(F.broadcast(cut), "url", "left_semi")
-            noops = noops.join(F.broadcast(cut), "url", "left_semi")
+            fetched = fetched.join(cut, "url", "left_semi")
+            filtered_out = filtered_out.join(cut, "url", "left_semi")
+            if denied is not None:
+                denied = denied.join(cut, "url", "left_semi")
         else:
             will_exhaust = False
 
-        fetched = fetched.cache()
-        # one action materializes the whole upstream chain (dedup window,
-        # bloom probe, anti-join, robots gate, politeness rank, fetch
-        # join) so the table writes below run off caches
+        # the fetch-join output feeds visited, fetch errors, and the
+        # harvest — persist it, then run ONE materializing pass: this
+        # computes the whole heavy chain (dedup window → seen-mark join
+        # → robots gate → politeness window → fetch join) exactly once
+        # into the four chain caches before the write job's branches
+        # fan out over them.
+        fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
         fetched.count()
         tm.tick("materialize round chain")
 
-        # --- history delta: deterministic ids in K order ----------------------
-        consumed = fetched.select("url", "priority", "enq_round", "seq").unionByName(
-            noops.select("url", "priority", "enq_round", "seq")
-        )
-        if hist_extra is not None:
-            consumed = consumed.unionByName(hist_extra)
-        base_id = state.get("next_history_id", 0)
-        if cfg.deterministic_history_ids:
-            w_id = Window.orderBy(*_pop_order())
-            id_col = (F.row_number().over(w_id) - 1 + F.lit(base_id)).cast("long")
-        else:
-            # scale mode: no global ordering stage; ids = xxhash64(url)
-            id_col = F.xxhash64("url")
-        hist_delta = consumed.withColumn("id", id_col).select(
-            "id", "url", F.xxhash64("url").alias("url_hash64"),
-            F.lit(rnd).alias("seen_round"),
-        )
-        hist_delta = hist_delta.cache()
-
-        # --- visited delta + per-host fetch ordinals ---------------------------
+        # --- visited branch + per-host fetch ordinals ---------------------------
         ok = fetched.filter(F.col("_hit"))
         w_host_seq = Window.partitionBy("host").orderBy(*_pop_order())
         prev_host = self.store.read_snapshot("host_state", rnd - 1)
@@ -440,41 +495,52 @@ class CrawlEngine:
             visited = visited.join(
                 F.broadcast(prev_host.withColumnRenamed("fetched", "_prev")), "host", "left"
             ).withColumn("_hs", F.col("_hs") + F.coalesce(F.col("_prev"), F.lit(0))).drop("_prev")
-        visited_out = visited.select(
-            "url", "host", "depth", "root_page_id", "parent_url",
-            F.lit(rnd).alias("fetch_round"),
-            F.col("_hs").cast("int").alias("host_seq"),
-            F.when(F.col("_visit"), F.lit("visit")).otherwise(F.lit("check")).alias("action"),
-            F.coalesce(F.col("_rstatus"), F.lit(200)).alias("status"),
-            "text", "lang",
-        ).repartition(spark.sparkContext.defaultParallelism)  # de-skew the write
+        # De-skew the visited write: the host_seq window leaves the hot
+        # host's whole payload (rows + text) in ONE task — round-robin it
+        # before the write stage (north_rule: explicit skew mitigation).
+        vis_b = _to_delta(
+            visited, "visited",
+            host_seq=F.col("_hs").cast("int"),
+            action=F.when(F.col("_visit"), F.lit("visit")).otherwise(F.lit("check")),
+            status=F.coalesce(F.col("_rstatus"), F.lit(200)),
+            counting=F.col("_counting"),
+            text=F.col("text"), lang=F.col("lang"),
+        ).repartition(spark.sparkContext.defaultParallelism)
 
-        host_counts = ok.groupBy("host").agg(F.count("*").alias("fetched"))
-        if prev_host is not None:
-            host_counts = (
-                host_counts.unionByName(prev_host)
-                .groupBy("host").agg(F.sum("fetched").alias("fetched"))
-            )
-
-        # --- events delta -------------------------------------------------------
-        def _ev(df, kind, detail=None):
-            return df.select(
-                "url", "parent_url", F.lit(rnd).alias("round"),
-                F.lit(kind).alias("kind"), F.lit(detail).cast("string").alias("detail"),
-            )
-
-        events = _ev(dup_events, "repeat_visit")
-        if repeats is not None:
-            events = events.unionByName(_ev(repeats, "repeat_visit"))
-        if depth_cut is not None:
-            events = events.unionByName(_ev(depth_cut, "depth_cut"))
-        if denied is not None:
-            events = events.unionByName(
-                _ev(noops.filter(F.col("_noopkind") == "robots_denied"), "robots_denied")
-            )
-        events = events.unionByName(
-            _ev(fetched.filter(~F.col("_hit")), "fetch_error", "no corpus row")
+        # --- history-consumed noop branches ------------------------------------
+        ferr_b = _to_delta(
+            fetched.filter(~F.col("_hit")), "fetch_error",
+            detail=F.lit("no corpus row"),
         )
+        filt_b = _to_delta(filtered_out, "filtered")
+        hist_part = vis_b.unionByName(ferr_b).unionByName(filt_b)
+        if denied is not None:
+            hist_part = hist_part.unionByName(_to_delta(denied, "robots_denied"))
+        if hist_extra is not None:
+            hist_extra = hist_extra.withColumn("host", F.lit(None).cast("string")) \
+                .withColumn("root_page_id", F.lit(None).cast("int")) \
+                .withColumn("parent_url", F.lit(None).cast("string")) \
+                .withColumn("depth", F.lit(None).cast("int"))
+            hist_part = hist_part.unionByName(_to_delta(hist_extra, "budget_extra"))
+
+        # history ids (History/Model.kt:23-25): oracle-exact mode assigns
+        # sequential ids in K order (one global sort over the round DELTA,
+        # test-scale only); scale mode is xxhash64(url) — no ordering stage.
+        base_id = state.get("next_history_id", 0)
+        if cfg.deterministic_history_ids:
+            w_id = Window.orderBy(*_pop_order())
+            id_col = (F.row_number().over(w_id) - 1 + F.lit(base_id)).cast("long")
+        else:
+            id_col = F.xxhash64("url")
+        hist_part = hist_part.withColumn("id", id_col)
+
+        # --- event-only branches -------------------------------------------------
+        rep = dup_events
+        if repeats is not None:
+            rep = rep.unionByName(repeats.select(*dup_events.columns))
+        ev_part = _to_delta(rep.select(*_FF), "repeat_visit")
+        if depth_cut is not None:
+            ev_part = ev_part.unionByName(_to_delta(depth_cut, "depth_cut"))
 
         # --- 9+10. harvest: redirects re-enqueue + link extraction -------------
         slow_redirects = (
@@ -505,8 +571,11 @@ class CrawlEngine:
                         href = link.href
                         if href.startswith("#") or len(href) > 2048:
                             continue
-                        child = parse_url(href, page, from_anchor=link.kind == "anchor",
-                                          anchor_text=link.text, anchor_attrs=link.attrs)
+                        # string-based KrawlUrl.new(href, url) — the
+                        # reference's harvest never passes anchor attrs
+                        # (Krawler.kt:466), so rel=canonical raw-URL
+                        # passthrough does NOT apply to children.
+                        child = parse_url(href, page)
                         canon = child.canonical
                         if link.kind == "anchor" and (canon == "http:///" or not canon.strip()):
                             continue
@@ -529,9 +598,7 @@ class CrawlEngine:
             ),
         ).withColumn(
             "priority", F.expr(priority_expr).cast("int")
-        ).withColumn("enq_round", F.lit(rnd + 1)).drop("parent_depth").select(
-            *[f.name for f in schemas.FRONTIER.fields]
-        )
+        ).withColumn("enq_round", F.lit(rnd + 1)).drop("parent_depth").select(*_FF)
 
         if slow_redirects:
             redirect_children = (
@@ -555,72 +622,58 @@ class CrawlEngine:
                              int(depth), 0, rnd + 1, child_seq(url, "redirect"))
                         )
                     yield pd.DataFrame(
-                        rows, columns=[f.name for f in schemas.FRONTIER.fields]
+                        rows, columns=_FF
                     )
 
             children = children.unionByName(
                 redirect_children.mapInPandas(_redir, schema=schemas.FRONTIER)
             )
 
-        next_frontier = deferred.unionByName(children).cache()
+        frontier_part = _to_delta(children, "child").unionByName(
+            _to_delta(deferred, "deferred")
+        )
 
-        # --- parallel table writes ------------------------------------------
-        # Every output below depends only on the cached round chain, so the
-        # five delta/snapshot writes are independent Spark jobs — submit
-        # them concurrently (FIFO scheduler interleaves their stages) and
-        # commit only after all complete.
-        from concurrent.futures import ThreadPoolExecutor
+        # --- THE round write: one job materializes the whole DAG ---------------
+        delta = hist_part.unionByName(ev_part).unionByName(frontier_part)
+        self.store.write_delta(rnd, delta)
+        tm.tick("round delta write (single job)")
 
-        def _retry(fn, *args):
-            # AQE occasionally races when sibling threads execute actions
-            # over shared cached sub-plans (SparkPlan.session NPE in
-            # resetMetrics); one retry re-plans cleanly.
-            try:
-                return fn(*args)
-            except Exception:
-                time.sleep(1.0)
-                return fn(*args)
+        # --- follow-ups over the written delta (partition-pruned, tiny) --------
+        d = self.store.read_delta_round(rnd)
+        agg = {
+            r["kind"]: (int(r["n"]), int(r["c"] or 0))
+            for r in d.groupBy("kind").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("counting").cast("long")).alias("c"),
+            ).collect()
+        }
+        visited_ct = agg.get("visited", (0, 0))[0]
+        counted_now = agg.get("visited", (0, 0))[1]
+        hist_ct = sum(agg.get(k, (0, 0))[0] for k in HIST_KINDS)
+        frontier_ct = agg.get("child", (0, 0))[0] + agg.get("deferred", (0, 0))[0]
 
-        def _w_history() -> int:
-            self.store.write_table("history", rnd, hist_delta)
-            n = hist_delta.count()
-            if cfg.use_bloom:
-                old = self.store.read_snapshot("bloom", rnd - 1)
-                delta_shards = bloom_ops.build_delta(
-                    hist_delta, cfg.bloom_buckets, cfg.bloom_bits_per_bucket
-                )
-                self.store.write_table(
-                    "bloom", rnd, bloom_ops.merge_shards(spark, old, delta_shards)
-                )
-            return int(n)
+        host_counts = (
+            d.filter(F.col("kind") == "visited")
+            .groupBy("host").agg(F.count(F.lit(1)).alias("fetched"))
+        )
+        if prev_host is not None:
+            host_counts = (
+                host_counts.unionByName(prev_host)
+                .groupBy("host").agg(F.sum("fetched").alias("fetched"))
+            )
+        self.store.write_table("host_state", rnd, host_counts)
 
-        def _w_frontier() -> int:
-            self.store.write_table("frontier", rnd + 1, next_frontier)
-            return int(next_frontier.count())
+        if cfg.use_bloom:
+            old = self.store.read_snapshot("bloom", rnd - 1)
+            delta_shards = bloom_ops.build_delta(
+                d.filter(F.col("kind").isin(*HIST_KINDS)).select("url"),
+                cfg.bloom_buckets, cfg.bloom_bits_per_bucket,
+            )
+            self.store.write_table(
+                "bloom", rnd, bloom_ops.merge_shards(old, delta_shards)
+            )
+        tm.tick("follow-ups (counts, host_state, bloom merge)")
 
-        def _agg_counts():
-            return ok.agg(
-                F.count(F.lit(1)).alias("v"),
-                F.sum(F.col("_counting").cast("long")).alias("c"),
-            ).first()
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_hist = pool.submit(_retry, _w_history)
-            f_front = pool.submit(_retry, _w_frontier)
-            f_vis = pool.submit(_retry, self.store.write_table, "visited", rnd, visited_out)
-            f_host = pool.submit(_retry, self.store.write_table, "host_state", rnd, host_counts)
-            f_ev = pool.submit(_retry, self.store.write_table, "events", rnd, events)
-            f_agg = pool.submit(_retry, _agg_counts)
-            hist_ct = f_hist.result()
-            frontier_ct = f_front.result()
-            agg = f_agg.result()
-            f_vis.result()
-            f_host.result()
-            f_ev.result()
-        tm.tick("parallel writes (history+bloom, frontier+harvest, visited, hosts, events)")
-
-        visited_ct = int(agg["v"] or 0)
-        counted_now = int(agg["c"] or 0)
         metrics_rows = [
             (rnd, "visited", int(visited_ct)),
             (rnd, "counted", int(counted_now)),
@@ -636,20 +689,28 @@ class CrawlEngine:
         }
         new_state["exhausted"] = bool(will_exhaust)
         new_state["frontier_next"] = int(frontier_ct)
-        tm.tick("metrics")
         self.store.commit_round(rnd, new_state)
+        tm.tick("metrics + commit")
 
-        frontier.unpersist()
-        keep.unpersist()
+        fetched.unpersist()
+        if precut_fetched is not None and precut_fetched is not fetched:
+            precut_fetched.unpersist()
+        ph.unpersist()
+        ranked.unpersist()
         if probed is not None:
             probed.unpersist()
-        gated.unpersist()
-        fetched.unpersist()
-        hist_delta.unpersist()
-        next_frontier.unpersist()
         return new_state
 
     # ------------------------------------------------------------------ driver
+    def _cleanup_uncommitted(self, from_round: int) -> None:
+        """Drop orphan delta dirs from a crashed attempt so partition
+        discovery never trips over half-written files."""
+        import shutil as _sh
+
+        for r in self.store.delta_rounds():
+            if r >= from_round:
+                _sh.rmtree(self.store._table_dir("delta", r), ignore_errors=True)
+
     def run(
         self,
         seeds: Optional[List[str]] = None,
@@ -663,84 +724,96 @@ class CrawlEngine:
         if last is not None:
             start = last + 1
             state = self.store.committed_state(last)
-            frontier = self.store.read_snapshot("frontier", start)
         else:
             if seeds is None and seeds_df is None:
                 raise ValueError("seeds required for a fresh crawl")
-            frontier = (
+            seeded = (
                 self.seed_frontier_df(seeds_df) if seeds_df is not None
                 else self.seed_frontier(seeds)
             )
-            self.store.write_table("frontier", 0, frontier)
-            frontier = self.store.read_snapshot("frontier", 0)
+            self.store.write_table("frontier", 0, seeded)
             start = 0
             state = {"counted": 0, "next_history_id": 0}
+        self._cleanup_uncommitted(start)
 
         rnd = start
         for rnd in range(start, cfg.max_rounds):
             if state.get("exhausted"):
                 break
-            frontier = self._drain_submissions(rnd, frontier)
+            frontier = self.store.read_frontier(rnd)
+            staged = self._drain_submissions(rnd)
+            if staged is not None:
+                frontier = (
+                    staged if frontier is None else frontier.unionByName(staged)
+                )
             if frontier is None:
                 break
             # the committed frontier_next count makes the isEmpty probe
             # free except on the first round and the draining round
             # (live submissions can refill an empty frontier)
-            if (rnd == start or state.get("frontier_next", 1) == 0) and frontier.isEmpty():
+            if (
+                (rnd == start or state.get("frontier_next", 1) == 0)
+                and staged is None
+                and frontier.isEmpty()
+            ):
                 break
             state = self._run_round(rnd, frontier, state)
-            frontier = self.store.read_snapshot("frontier", rnd + 1)
         return {"rounds": rnd, "state": state}
 
     # ------------------------------------------------- O19/O20 maintenance ops
     def remove_urls_by_root_page(self, root_page_id: int) -> int:
-        """DELETE FROM frontier WHERE root_page_id = ? (Krawler.kt:216-226)."""
-        last = self.store.last_committed()
-        rnd = 0 if last is None else last + 1
-        f = self.store.read_snapshot("frontier", rnd)
-        if f is None:
-            return 0
-        before = f.count()
-        kept = f.filter(
+        """DELETE FROM frontier WHERE root_page_id = ? (Krawler.kt:216-226).
+        Row-level delete = filtered rewrite of the queue snapshot, written
+        to a side dir and atomically swapped (never overwrites a directory
+        the input plan reads)."""
+        return self._rewrite_frontier(
             ~(F.col("root_page_id") == F.lit(root_page_id))
             | F.col("root_page_id").isNull()
         )
-        kept = kept.cache()
-        after = kept.count()
-        self.store.write_table("frontier", rnd, kept)
-        kept.unpersist()
-        return int(before - after)
 
     def remove_urls_by_age(self, before_round: int) -> int:
         """DELETE FROM frontier WHERE enq_round < ? (Krawler.kt:228-234,
         age expressed in rounds — the engine's clock)."""
+        return self._rewrite_frontier(F.col("enq_round") >= F.lit(before_round))
+
+    def _rewrite_frontier(self, keep_predicate) -> int:
         last = self.store.last_committed()
         rnd = 0 if last is None else last + 1
-        f = self.store.read_snapshot("frontier", rnd)
+        f = self.store.read_frontier(rnd)
         if f is None:
             return 0
         before = f.count()
-        kept = f.filter(F.col("enq_round") >= F.lit(before_round)).cache()
-        after = kept.count()
-        self.store.write_table("frontier", rnd, kept)
-        kept.unpersist()
+        kept = f.filter(keep_predicate)
+        self.store.write_table_swap("frontier", rnd, kept)
+        after = self.store.read_snapshot("frontier", rnd).count()
         return int(before - after)
 
     def clear_history(self, before_round: int) -> int:
         """O20: ``clearHistory(beforeTime)`` (History/Dao.kt:72-78) —
         drop URL-seen rows older than a round, freeing them for
-        re-crawl. Round-granular: whole history deltas are retired.
-        Stale bloom bits only ever cause false *positives*, which fall
-        through to the exact anti-join — correctness unaffected."""
-        import shutil as _sh
-
+        re-crawl. Round-granular: whole history rounds are retired via
+        the floor watermark (the delta files stay — they are lineage;
+        the URL-seen VIEW excludes them). Stale bloom bits only ever
+        cause false *positives*, which fall through to the exact
+        anti-join — correctness unaffected."""
         last = self.store.last_committed()
         if last is None:
             return 0
+        old_floor = self.store.history_floor()
+        new_floor = min(before_round, last + 1)
+        if new_floor <= old_floor:
+            return 0
+        d = self.store.read_delta_all()
         removed = 0
-        for d in self.store.delta_dirs("history", min(before_round - 1, last)):
-            removed += int(self.spark.read.parquet(d).count())
-            _sh.rmtree(d, ignore_errors=True)
+        if d is not None:
+            removed = int(
+                d.filter(
+                    (F.col("r") >= old_floor)
+                    & (F.col("r") < new_floor)
+                    & F.col("kind").isin(*HIST_KINDS)
+                ).count()
+            )
+        self.store.set_history_floor(new_floor)
         return removed
 
     # ------------------------------------------------------------------ reads
@@ -748,16 +821,16 @@ class CrawlEngine:
         r = upto_round if upto_round is not None else self.store.last_committed()
         if r is None:
             return None
-        return self.store.read_deltas("visited", r)
+        return self.store.read_visited(r)
 
     def history(self, upto_round: Optional[int] = None) -> Optional[DataFrame]:
         r = upto_round if upto_round is not None else self.store.last_committed()
         if r is None:
             return None
-        return self.store.read_deltas("history", r)
+        return self.store.read_history(r)
 
     def events(self, upto_round: Optional[int] = None) -> Optional[DataFrame]:
         r = upto_round if upto_round is not None else self.store.last_committed()
         if r is None:
             return None
-        return self.store.read_deltas("events", r)
+        return self.store.read_events(r)

@@ -170,12 +170,12 @@ def harvest_links(html, page_url: str) -> List[dict]:
         href = link.href
         if href.startswith("#") or len(href) > 2048:
             continue
-        child = parse_url(
-            href, page,
-            from_anchor=(link.kind == "anchor"),
-            anchor_text=link.text,
-            anchor_attrs=link.attrs,
-        )
+        # string-based KrawlUrl.new(href, url) like the reference's
+        # harvestLinks (Krawler.kt:466): anchor attrs are metadata only
+        # and never reach the canonicalizer, so the rel=canonical
+        # raw-URL passthrough (KrawlUrl.kt:317-320) cannot leak an
+        # unresolved href into the frontier.
+        child = parse_url(href, page)
         canonical = child.canonical
         if link.kind == "anchor":
             # anchors: validity + non-blank canonical filter (:467)

@@ -3,15 +3,22 @@
 The exact URL-seen check is a left-anti join against the history table
 (``History/Dao.kt:80-86``). At a 10^10-row history that anti-join
 shuffles the full candidate set every round; the bloom pre-filter makes
-the common case ("never seen this URL") a map-side test:
+the common case ("never seen this URL") a shard-local test:
 
 * history urls are double-hashed JVM-side (``xxhash64(url)`` and
   ``xxhash64(url, salt)`` — Arrow-vectorized, zero per-row Python) and
   folded into ``bloom_buckets`` fixed-size bit arrays, one per
   ``pmod(h1, buckets)`` shard, via numpy inside ``applyInPandas``.
-* candidates probe the shards through a Spark *broadcast variable*
-  (the shards travel once per executor, never per row) inside
-  ``mapInPandas`` — again pure numpy on int64 columns.
+* shard snapshots merge distributed: old ∪ delta →
+  ``groupBy(bucket).applyInPandas`` OR-fold — shard bytes NEVER
+  transit the driver, so a 10^10-URL / ~20 GB shard set merges with
+  the same plan shape as the 1 MiB test set.
+* candidates are CO-PARTITIONED with the shards: repartition by
+  ``bucket``, then each task loads only the shard rows for its own
+  buckets straight from the snapshot parquet (pyarrow filtered read,
+  worker-side cache) and bit-tests its batch with numpy. No driver
+  collect, no full-set broadcast — per-executor shard residency is
+  ``total_shard_bytes / num_partitions``.
 * probe negative ⇒ definitely unseen (blooms have no false negatives:
   correctness never depends on bloom tuning); probe positive ⇒ maybe
   seen → only that subset flows into the exact anti-join.
@@ -24,10 +31,10 @@ of the north rule.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Iterator, Optional
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..schemas import BLOOM
@@ -85,38 +92,45 @@ def build_delta(
     return hashed.groupBy("bucket").applyInPandas(_build, schema=BLOOM)
 
 
-def merge_shards(spark: SparkSession, old: Optional[DataFrame], delta: DataFrame) -> DataFrame:
-    """OR old and delta shard sets. Shard tables are tiny (buckets ×
-    bits/8 bytes) — merged driver-side and re-parallelized."""
-    merged: Dict[int, np.ndarray] = {}
-    for df in (old, delta):
-        if df is None:
-            continue
-        for row in df.collect():
-            b = np.frombuffer(row["bits"], dtype=np.uint8)
-            if row["bucket"] in merged:
-                merged[row["bucket"]] = merged[row["bucket"]] | b
-            else:
-                merged[row["bucket"]] = b.copy()
-    rows = [(k, v.tobytes()) for k, v in sorted(merged.items())]
-    return spark.createDataFrame(rows, BLOOM) if rows else spark.createDataFrame([], BLOOM)
+def merge_shards(old: Optional[DataFrame], delta: DataFrame) -> DataFrame:
+    """OR old and delta shard sets, fully distributed: one
+    groupBy(bucket) shuffle of (bucket, bits) rows, numpy OR-fold per
+    bucket. Nothing transits the driver — at 10^10 URLs the shard set
+    is ~20 GB and this plan shape is unchanged."""
+
+    def _or(pdf):
+        import pandas as pd
+
+        acc: Optional[np.ndarray] = None
+        for b in pdf["bits"]:
+            a = np.frombuffer(b, dtype=np.uint8)
+            acc = a.copy() if acc is None else (acc | a)
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "bits": [acc.tobytes()]}
+        )
+
+    both = delta if old is None else old.unionByName(delta)
+    return both.groupBy("bucket").applyInPandas(_or, schema=BLOOM)
 
 
 def probe(
-    spark: SparkSession,
     candidates: DataFrame,
-    shards: Optional[DataFrame],
+    shard_dir: Optional[str],
     buckets: int,
     bits_per_bucket: int,
     url_col: str = "url",
     flag_col: str = "maybe_seen",
 ) -> DataFrame:
-    """Adds ``maybe_seen`` to candidates. Missing shards ⇒ all True
+    """Adds ``maybe_seen`` to candidates, co-partitioned with the shard
+    snapshot: candidates shuffle once on ``bucket`` and each task loads
+    only its own buckets' shards from ``shard_dir`` (pyarrow filtered
+    read, cached per worker process). Missing shard dir ⇒ all True
     (degenerates to the exact check — never a correctness risk)."""
-    if shards is None:
+    import os
+
+    if shard_dir is None or not os.path.isdir(shard_dir):
         return candidates.withColumn(flag_col, F.lit(True))
-    local = {int(r["bucket"]): np.frombuffer(r["bits"], dtype=np.uint8) for r in shards.collect()}
-    bc = spark.sparkContext.broadcast(local)
+
     m = bits_per_bucket
     cols = [f.name for f in candidates.schema.fields]
     from pyspark.sql.types import BooleanType, StructType
@@ -125,10 +139,26 @@ def probe(
 
     hashed = _with_hashes(candidates, url_col).withColumn(
         "bucket", F.pmod(F.col("h1"), F.lit(buckets)).cast("int")
-    )
+    ).repartition(F.col("bucket"))
 
     def _probe(batches: Iterator) -> Iterator:
-        shards_local = bc.value
+        import pyarrow.dataset as ds
+
+        loaded: dict = {}
+
+        def shard_for(b: int):
+            if b not in loaded:
+                tbl = ds.dataset(shard_dir, format="parquet").to_table(
+                    filter=ds.field("bucket") == int(b)
+                )
+                if tbl.num_rows == 0:
+                    loaded[b] = None
+                else:
+                    loaded[b] = np.frombuffer(
+                        tbl.column("bits")[0].as_py(), dtype=np.uint8
+                    )
+            return loaded[b]
+
         for pdf in batches:
             h1 = pdf["h1"].to_numpy()
             h2 = pdf["h2"].to_numpy()
@@ -137,7 +167,7 @@ def probe(
             pos = _bit_positions(h1, h2, m)
             for b in np.unique(bkt):
                 mask = bkt == b
-                bits = shards_local.get(int(b))
+                bits = shard_for(int(b))
                 if bits is None:
                     res[mask] = False  # empty shard → definitely unseen
                 else:

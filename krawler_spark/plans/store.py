@@ -3,21 +3,29 @@
 Plays the role the reference's HSQLDB tables play
 (``HSQLConnection.kt:40-54``; in-memory vs ``persistentCrawl``
 file-backed), redesigned for a lakehouse: every crawl round commits a
-consistent multi-table snapshot, and a killed job resumes from the last
-committed round with no re-fetches and no URL-seen false negatives
-(north_rule resumability).
+consistent snapshot, and a killed job resumes from the last committed
+round with no re-fetches and no URL-seen false negatives (north_rule
+resumability).
 
 Layout::
 
     warehouse/
-      frontier/r=<N>/        full snapshot per round (the queue state)
-      bloom/r=<N>/           full snapshot of per-bucket bloom shards
-      host_state/r=<N>/      per-host cumulative fetch ordinals
-      history/r=<N>/         append-only delta (rows first seen in round N)
-      visited/r=<N>/         append-only delta
-      events/r=<N>/          append-only delta (side outputs, O21)
-      metrics/r=<N>/         append-only delta
-      _commits/r<N>.json     commit marker — written LAST, atomically
+      delta/r=<N>/kind=<K>/   ONE unified round delta, hive-partitioned.
+                              Every row the round produced, discriminated
+                              by ``kind``; the logical tables are views:
+                                history  = kind ∈ HIST_KINDS
+                                visited  = kind = 'visited'
+                                events   = kind ∈ EVENT_KINDS
+                                frontier@N+1 = kind ∈ ('child','deferred')
+      frontier/r=<N>/         explicit frontier snapshots (seeds at r=0,
+                              maintenance-op rewrites); take precedence
+                              over the delta-derived view
+      bloom/r=<N>/            per-bucket bloom shards snapshot
+      host_state/r=<N>/       per-host cumulative fetch ordinals
+      metrics/r=<N>/          tiny per-round lineage counters
+      _commits/r<N>.json      commit marker — written LAST, atomically
+      _history_floor.json     clearHistory watermark (rounds below are
+                              retired from the URL-seen view)
 
 A round is visible iff its marker exists; a crash mid-round leaves
 orphan data directories that are ignored and overwritten on retry —
@@ -25,6 +33,12 @@ the same snapshot-isolation contract an Iceberg catalog provides. On a
 real cluster this class is swapped for Iceberg tables (``writeTo(...)
 .append()`` / ``overwritePartitions`` + snapshot tags); the engine only
 touches the methods below, so the swap is config-level.
+
+Scale note (north_rule): the single partitioned write replaces five
+separate table writes per round — one Spark job materializes the whole
+round DAG exactly once, and every logical table is a partition-pruned
+read (``kind=`` and ``r=`` are hive partition columns, so Catalyst
+prunes to exactly the files each view needs).
 """
 
 from __future__ import annotations
@@ -33,12 +47,18 @@ import json
 import os
 import shutil
 import tempfile
-from typing import Dict, Iterable, List, Optional
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-SNAPSHOT_TABLES = ("frontier", "bloom", "host_state")
-DELTA_TABLES = ("history", "visited", "events", "metrics")
+# kinds that constitute the URL-seen history (rows consumed WITH a
+# history insert — Krawler.kt:369-380)
+HIST_KINDS = ("visited", "fetch_error", "filtered", "robots_denied", "budget_extra")
+# kinds surfaced as side-output events (O21)
+EVENT_KINDS = ("repeat_visit", "depth_cut", "robots_denied", "fetch_error")
+# kinds that form the next round's frontier
+FRONTIER_KINDS = ("child", "deferred")
 
 
 class SnapshotStore:
@@ -47,15 +67,36 @@ class SnapshotStore:
         self.path = path
         os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
 
-    # -- commit protocol ----------------------------------------------------
+    # -- paths ----------------------------------------------------------------
     def _table_dir(self, name: str, round_no: int) -> str:
         return os.path.join(self.path, name, f"r={round_no}")
+
+    def _delta_root(self) -> str:
+        return os.path.join(self.path, "delta")
 
     def _marker(self, round_no: int) -> str:
         return os.path.join(self.path, "_commits", f"r{round_no}.json")
 
+    # -- commit protocol --------------------------------------------------------
+    def write_delta(self, round_no: int, df: DataFrame) -> None:
+        """The round's ONE materializing Spark job: every output row,
+        partitioned by kind for partition-pruned view reads."""
+        df.write.partitionBy("kind").mode("overwrite").parquet(
+            self._table_dir("delta", round_no)
+        )
+
     def write_table(self, name: str, round_no: int, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(self._table_dir(name, round_no))
+
+    def write_table_swap(self, name: str, round_no: int, df: DataFrame) -> None:
+        """Write to a side dir then atomically swap into place — never
+        overwrite a directory the input plan may still be reading."""
+        final_dir = self._table_dir(name, round_no)
+        tmp_dir = final_dir + ".swap"
+        df.write.mode("overwrite").parquet(tmp_dir)
+        shutil.rmtree(final_dir, ignore_errors=True)
+        os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+        os.replace(tmp_dir, final_dir)
 
     def write_rows_local(self, name: str, round_no: int, rows: list, schema) -> None:
         """Driver-side write for tiny tables (metrics) — one pyarrow
@@ -93,36 +134,129 @@ class SnapshotStore:
         with open(self._marker(round_no)) as f:
             return json.load(f)["state"]
 
-    # -- reads ----------------------------------------------------------------
+    # -- unified-delta reads ------------------------------------------------------
+    def delta_rounds(self) -> List[int]:
+        root = self._delta_root()
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            int(fn.split("=")[1]) for fn in os.listdir(root) if fn.startswith("r=")
+        )
+
+    def read_delta_all(self) -> Optional[DataFrame]:
+        """All round deltas; ``r`` and ``kind`` arrive as hive partition
+        columns, so downstream r/kind filters are pure partition pruning
+        (zero data files touched outside the slice)."""
+        if not self.delta_rounds():
+            return None
+        return self.spark.read.parquet(self._delta_root())
+
+    def read_delta_round(self, round_no: int) -> Optional[DataFrame]:
+        d = self._table_dir("delta", round_no)
+        if not os.path.isdir(d):
+            return None
+        return self.spark.read.option("basePath", self._delta_root()).parquet(d)
+
+    def history_floor(self) -> int:
+        p = os.path.join(self.path, "_history_floor.json")
+        if not os.path.isfile(p):
+            return 0
+        with open(p) as f:
+            return int(json.load(f)["floor"])
+
+    def set_history_floor(self, floor: int) -> None:
+        p = os.path.join(self.path, "_history_floor.json")
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            json.dump({"floor": int(floor)}, f)
+        os.replace(tmp, p)
+
+    def read_history(self, upto_round: int) -> Optional[DataFrame]:
+        """URL-seen view (History/Dao.kt:57-58): rows of any consumed
+        kind, above the clearHistory floor."""
+        d = self.read_delta_all()
+        if d is None:
+            return None
+        floor = self.history_floor()
+        return (
+            d.filter(
+                (F.col("r") <= upto_round)
+                & (F.col("r") >= floor)
+                & F.col("kind").isin(*HIST_KINDS)
+            )
+            .select(
+                F.col("id"),
+                F.col("url"),
+                F.xxhash64("url").alias("url_hash64"),
+                F.col("r").cast("int").alias("seen_round"),
+            )
+        )
+
+    def read_visited(self, upto_round: int) -> Optional[DataFrame]:
+        d = self.read_delta_all()
+        if d is None:
+            return None
+        return d.filter(
+            (F.col("r") <= upto_round) & (F.col("kind") == "visited")
+        ).select(
+            "url", "host", "depth", "root_page_id", "parent_url",
+            F.col("r").cast("int").alias("fetch_round"),
+            "host_seq", "action", "status", "text", "lang",
+        )
+
+    def read_events(self, upto_round: int) -> Optional[DataFrame]:
+        d = self.read_delta_all()
+        if d is None:
+            return None
+        return d.filter(
+            (F.col("r") <= upto_round) & F.col("kind").isin(*EVENT_KINDS)
+        ).select(
+            "url", "parent_url", F.col("r").cast("int").alias("round"),
+            F.col("kind").cast("string").alias("kind"), "detail",
+        )
+
+    def read_frontier(self, round_no: int) -> Optional[DataFrame]:
+        """Frontier@N: an explicit snapshot if one exists (seeds,
+        maintenance rewrites), else the delta-derived view of round N-1
+        (child ∪ deferred) — the queue state is never written twice."""
+        explicit = self._table_dir("frontier", round_no)
+        if os.path.isdir(explicit):
+            return self.spark.read.parquet(explicit)
+        if round_no >= 1:
+            d = self.read_delta_round(round_no - 1)
+            if d is not None:
+                from .. import schemas
+
+                return d.filter(F.col("kind").isin(*FRONTIER_KINDS)).select(
+                    *[f.name for f in schemas.FRONTIER.fields]
+                )
+        return None
+
+    # -- plain snapshot reads -------------------------------------------------
     def read_snapshot(self, name: str, round_no: int) -> Optional[DataFrame]:
         d = self._table_dir(name, round_no)
         if not os.path.isdir(d):
             return None
         return self.spark.read.parquet(d)
 
-    def delta_dirs(self, name: str, upto_round: int) -> List[str]:
-        base = os.path.join(self.path, name)
+    def read_metrics(self, upto_round: int) -> Optional[DataFrame]:
+        base = os.path.join(self.path, "metrics")
         if not os.path.isdir(base):
-            return []
-        out = []
-        for fn in sorted(os.listdir(base)):
-            if fn.startswith("r="):
-                r = int(fn.split("=")[1])
-                if r <= upto_round:
-                    out.append(os.path.join(base, fn))
-        return out
-
-    def read_deltas(self, name: str, upto_round: int) -> Optional[DataFrame]:
-        dirs = self.delta_dirs(name, upto_round)
+            return None
+        dirs = [
+            os.path.join(base, fn)
+            for fn in sorted(os.listdir(base))
+            if fn.startswith("r=") and int(fn.split("=")[1]) <= upto_round
+        ]
         if not dirs:
             return None
         return self.spark.read.parquet(*dirs)
 
     # -- maintenance ----------------------------------------------------------
     def prune_snapshots(self, keep_from_round: int) -> None:
-        """Drop snapshot rounds older than keep_from_round (deltas are
-        kept — they are the history/lineage)."""
-        for name in SNAPSHOT_TABLES:
+        """Drop old snapshot rounds (bloom/host_state/frontier); the
+        unified delta is kept — it is the history/lineage."""
+        for name in ("frontier", "bloom", "host_state"):
             base = os.path.join(self.path, name)
             if not os.path.isdir(base):
                 continue

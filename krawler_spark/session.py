@@ -38,6 +38,11 @@ def get_spark(
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
+        # Throughput GC: G1's concurrent cycles throttle 32-thread local
+        # mode measurably (≈1.5× on the window-dedup microbench,
+        # scripts/micro_window.py); ParallelGC matches the batch-job
+        # profile. On a real cluster this is an executor JVM flag.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -49,7 +49,7 @@ def _assert_equivalent(eng, oracle_res):
 
 def test_full_crawl_equivalence(spark, warehouse):
     rows, pages_dict = _corpus()
-    cfg = CrawlConfig(max_depth=3, round_seconds=1.0)  # budget 5/host/round
+    cfg = CrawlConfig(deterministic_history_ids=True, max_depth=3, round_seconds=1.0)  # budget 5/host/round
     # extra seed straight into host 0's robots-disallowed path so the
     # gate fires within the shallow fast-suite depth
     seeds = default_seeds(N_HOSTS) + ["http://www.site-0.com/blocked/3.html"]
@@ -71,7 +71,7 @@ def test_full_crawl_equivalence(spark, warehouse):
 
 def test_page_budget_equivalence(spark, warehouse):
     rows, pages_dict = _corpus()
-    cfg = CrawlConfig(max_depth=-1, total_pages=17, round_seconds=1.0)
+    cfg = CrawlConfig(deterministic_history_ids=True, max_depth=-1, total_pages=17, round_seconds=1.0)
     oracle_res = crawl_oracle(default_seeds(N_HOSTS), pages_dict, cfg)
     eng = _run_engine(spark, warehouse, rows, cfg)
     _assert_equivalent(eng, oracle_res)
@@ -81,7 +81,7 @@ def test_page_budget_equivalence(spark, warehouse):
 @pytest.mark.slow
 def test_politeness_budget_bounds_per_host_per_round(spark, warehouse):
     rows, pages_dict = _corpus()
-    cfg = CrawlConfig(max_depth=3, politeness_delay_ms=500, round_seconds=1.0)  # budget 2
+    cfg = CrawlConfig(deterministic_history_ids=True, max_depth=3, politeness_delay_ms=500, round_seconds=1.0)  # budget 2
     oracle_res = crawl_oracle(default_seeds(N_HOSTS), pages_dict, cfg)
     eng = _run_engine(spark, warehouse, rows, cfg)
     _assert_equivalent(eng, oracle_res)
@@ -96,7 +96,7 @@ def test_politeness_budget_bounds_per_host_per_round(spark, warehouse):
 @pytest.mark.slow
 def test_should_visit_filter_equivalence(spark, warehouse):
     rows, pages_dict = _corpus()
-    cfg = CrawlConfig(max_depth=4, round_seconds=1.0)
+    cfg = CrawlConfig(deterministic_history_ids=True, max_depth=4, round_seconds=1.0)
     oracle_res = crawl_oracle(
         default_seeds(N_HOSTS), pages_dict, cfg,
         should_visit=lambda u: not u.endswith(".png"),
@@ -109,14 +109,14 @@ def test_should_visit_filter_equivalence(spark, warehouse):
 
 def test_resume_no_refetch(spark, tmp_path):
     rows, pages_dict = _corpus()
-    cfg_full = CrawlConfig(max_depth=3, round_seconds=1.0)
+    cfg_full = CrawlConfig(deterministic_history_ids=True, max_depth=3, round_seconds=1.0)
 
     # one-shot run
     eng_full = _run_engine(spark, str(tmp_path / "w1"), rows, cfg_full)
     full_vis = _visited_key([r.asDict() for r in eng_full.visited().collect()])
 
     # killed after 2 rounds, then resumed
-    cfg_cut = CrawlConfig(max_depth=3, round_seconds=1.0, max_rounds=2)
+    cfg_cut = CrawlConfig(deterministic_history_ids=True, max_depth=3, round_seconds=1.0, max_rounds=2)
     _run_engine(spark, str(tmp_path / "w2"), rows, cfg_cut)
     eng_resumed = _run_engine(
         spark, str(tmp_path / "w2"), rows, cfg_full, resume=True
@@ -131,10 +131,10 @@ def test_resume_no_refetch(spark, tmp_path):
 @pytest.mark.slow
 def test_bloom_and_exact_paths_agree(spark, tmp_path):
     rows, _ = _corpus()
-    cfg_b = CrawlConfig(max_depth=3, round_seconds=1.0, use_bloom=True,
+    cfg_b = CrawlConfig(deterministic_history_ids=True, max_depth=3, round_seconds=1.0, use_bloom=True,
                         bloom_bits_per_bucket=1 << 14, bloom_buckets=8,
                         bloom_activation_rows=0)  # force the probe path
-    cfg_e = CrawlConfig(max_depth=3, round_seconds=1.0, use_bloom=False)
+    cfg_e = CrawlConfig(deterministic_history_ids=True, max_depth=3, round_seconds=1.0, use_bloom=False)
     e1 = _run_engine(spark, str(tmp_path / "b"), rows, cfg_b)
     e2 = _run_engine(spark, str(tmp_path / "e"), rows, cfg_e)
     v1 = _visited_key([r.asDict() for r in e1.visited().collect()])
@@ -146,7 +146,7 @@ def test_bloom_and_exact_paths_agree(spark, tmp_path):
 def test_extracted_text_byte_identical(spark, warehouse):
     """input_hint invariant: engine text output == corpus text column."""
     rows, pages_dict = _corpus()
-    cfg = CrawlConfig(max_depth=3, round_seconds=1.0)
+    cfg = CrawlConfig(deterministic_history_ids=True, max_depth=3, round_seconds=1.0)
     eng = _run_engine(spark, warehouse, rows, cfg)
     for r in eng.visited().collect():
         assert r["text"] == pages_dict[r["url"]]["text"]
@@ -156,7 +156,7 @@ def test_salted_politeness_equivalence(spark, warehouse):
     """host_salt>1 (two-phase top-k, hot-host skew path) must be
     semantically invisible — same visited set/order as the oracle."""
     rows, pages_dict = _corpus()
-    cfg = CrawlConfig(max_depth=3, politeness_delay_ms=500, round_seconds=1.0,
+    cfg = CrawlConfig(deterministic_history_ids=True, max_depth=3, politeness_delay_ms=500, round_seconds=1.0,
                       host_salt=4)  # budget 2/host/round, salted rank
     oracle_res = crawl_oracle(default_seeds(N_HOSTS), pages_dict, cfg)
     eng = _run_engine(spark, warehouse, rows, cfg)
@@ -166,7 +166,7 @@ def test_salted_politeness_equivalence(spark, warehouse):
 def test_clear_history_frees_urls(spark, warehouse):
     """O20: cleared rounds disappear from the URL-seen set."""
     rows, _ = _corpus()
-    cfg = CrawlConfig(max_depth=2, round_seconds=1.0)
+    cfg = CrawlConfig(deterministic_history_ids=True, max_depth=2, round_seconds=1.0)
     eng = _run_engine(spark, warehouse, rows, cfg)
     before = eng.history().count()
     removed = eng.clear_history(before_round=1)  # retire round 0
