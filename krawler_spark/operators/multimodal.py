@@ -48,17 +48,25 @@ def sniff_media_type(df: DataFrame, bin_col: str = "payload") -> DataFrame:
 
 
 def decode_image(payload: bytes, deterministic_fake: bool = False):
-    """Decode stub. Real implementation needs PIL/libvips (absent here)."""
+    """Decode stub. Real implementation needs PIL/libvips (absent here).
+
+    The deterministic fake is an md5 chain over the payload: pixels =
+    unhex(md5(p) || md5(md5(p)) || md5(md5(md5(p)))) — 48 bytes = a fake
+    4×4 RGB image. Chosen because the identical bytes are derivable in
+    ANSI SQL, giving the feature extractor an exact DuckDB oracle."""
     if not deterministic_fake:
         raise NotImplementedError(
             "image decode requires PIL/libvips — not available in this "
             "environment; pass deterministic_fake=True for plumbing tests"
         )
+    import hashlib
+
     import numpy as np
 
-    seed = int.from_bytes((payload or b"\0")[:8].ljust(8, b"\0"), "big") % (2**32)
-    rng = np.random.RandomState(seed)
-    return rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)  # fake 4x4 RGB
+    m1 = hashlib.md5(bytes(payload or b"")).hexdigest()
+    m2 = hashlib.md5(m1.encode()).hexdigest()
+    m3 = hashlib.md5(m2.encode()).hexdigest()
+    return np.frombuffer(bytes.fromhex(m1 + m2 + m3), dtype=np.uint8).reshape(4, 4, 3)
 
 
 def extract_features(
@@ -71,22 +79,28 @@ def extract_features(
     import numpy as np
     import pandas as pd
 
-    schema = f"{id_col} long, features array<double>, decode_ok boolean"
+    schema = (
+        f"{id_col} long, features array<double>, hist array<int>, decode_ok boolean"
+    )
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, feats, oks = [], [], []
+            ids, feats, hists, oks = [], [], [], []
             for i, payload in zip(pdf[id_col], pdf[bin_col]):
                 ids.append(int(i))
                 try:
                     img = decode_image(payload, deterministic_fake=deterministic_fake)
                     hist = np.histogram(img, bins=FEATURE_DIM, range=(0, 256))[0]
+                    hists.append([int(x) for x in hist])
                     feats.append((hist / max(hist.sum(), 1)).astype(float).tolist())
                     oks.append(True)
                 except NotImplementedError:
+                    hists.append([0] * FEATURE_DIM)
                     feats.append([0.0] * FEATURE_DIM)
                     oks.append(False)
-            yield pd.DataFrame({id_col: ids, "features": feats, "decode_ok": oks})
+            yield pd.DataFrame(
+                {id_col: ids, "features": feats, "hist": hists, "decode_ok": oks}
+            )
 
     return df.select(id_col, bin_col).mapInPandas(_feat, schema=schema)
 

@@ -154,9 +154,14 @@ def ngram_jaccard_pairs(
     )
 
 
+SIMHASH_BITS = 60
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit simhash over word hashes — numpy bit-vote accumulation in
-    an Arrow-batched pandas UDF (no SQL oracle; checked rows-only)."""
+    """60-bit simhash over distinct-word hashes — numpy bit-vote
+    accumulation in an Arrow-batched pandas UDF. Word hashes are the
+    first 15 md5 hex digits (like ``hash64``), so the whole operator has
+    an exact ANSI-SQL oracle and the output is a non-negative BIGINT."""
     import numpy as np
 
     @F.pandas_udf("long")
@@ -170,15 +175,17 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
                 out.append(0)
                 continue
             hs = np.array(
-                [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in set(words)],
+                [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in set(words)],
                 dtype=np.uint64,
             )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+            bits = (
+                (hs[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :]) & 1
+            ).astype(np.int32)
             votes = (2 * bits - 1).sum(axis=0)
-            val = np.uint64(0)
+            val = 0
             for j in np.nonzero(votes > 0)[0]:
-                val |= np.uint64(1) << np.uint64(j)
-            out.append(int(val.astype(np.int64)))
+                val |= 1 << int(j)
+            out.append(val)
         return pd.Series(out)
 
     return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
@@ -238,6 +245,17 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # ----------------------------------------------------------------- embeddings
+def plane_val(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1)
+    (golden-ratio sin scramble). Computed in PYTHON and embedded as a
+    literal on both the Spark and the SQL-oracle side, so cross-engine
+    libm differences can never flip a sign bit."""
+    import math
+
+    x = math.sin(1.0 + p * 12.9898 + d * 78.233) * 43758.5453
+    return 2.0 * (x - math.floor(x)) - 1.0
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -302,36 +320,61 @@ def lsh_bucketed_ann(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_dim: int = 512,
+    bucket_cap: Optional[int] = 4096,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Scale path for ANN: random-hyperplane LSH — the sign pattern of
     ``planes`` pseudo-random projections keys a bucket; top-k runs only
-    within the query's bucket. Planes are derived deterministically
-    from (plane_idx, dim) so executors rebuild them without state."""
-    import math
+    within the probed buckets. Scale hygiene:
 
-    dim_probe = len(emb.select(vec_col).first()[0])
-
-    def plane_val(p: int, d: int) -> float:
-        # deterministic pseudo-random in [-1, 1): golden-ratio scramble
-        x = math.sin(1.0 + p * 12.9898 + d * 78.233) * 43758.5453
-        return 2.0 * (x - math.floor(x)) - 1.0
-
+    * planes are derived deterministically from (plane_idx, dim) — no
+      driver state, no driver action in plan construction (coefficient
+      arrays are built to ``max_dim`` and sliced to ``size(v)`` per row).
+    * ``bucket_cap`` bounds pathological buckets (row_number window per
+      bucket) so one dense region can never degenerate to all-pairs.
+    * ``multiprobe`` probes the query's bucket plus all Hamming-1
+      neighbors (flip each sign bit) — recall insurance for near-
+      boundary vectors without growing the corpus-side work."""
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col), vec_d.alias("v"))
     sig_bits = []
     for p in range(planes):
-        coeffs = F.array(*[F.lit(plane_val(p, d)) for d in range(dim_probe)])
+        coeffs = F.slice(
+            F.array(*[F.lit(plane_val(p, d)) for d in range(max_dim)]),
+            1, F.size(F.col("v")),
+        )
         sig_bits.append(F.when(_dot(F.col("v"), coeffs) >= 0, F.lit("1")).otherwise(F.lit("0")))
     bucketed = base.withColumn("bucket", F.concat(*sig_bits))
+    if bucket_cap is not None:
+        w_cap = Window.partitionBy("bucket").orderBy(F.col(id_col))
+        bucketed = bucketed.withColumn("_bc", F.row_number().over(w_cap)).filter(
+            F.col("_bc") <= bucket_cap
+        ).drop("_bc")
+
     q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket"
     )
+    if multiprobe:
+        probes = [F.col("bucket")]
+        for p in range(planes):
+            flipped_bit = F.when(
+                F.substring("bucket", p + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            probes.append(
+                F.concat(
+                    F.substring("bucket", 1, p),
+                    flipped_bit,
+                    F.expr(f"substring(bucket, {p + 2})"),
+                )
+            )
+        q = q.withColumn("bucket", F.explode(F.array(*probes)))
     scored = bucketed.join(F.broadcast(q), "bucket").filter(
         F.col(id_col) != F.col("q_id")
     ).select(
         "q_id", F.col(id_col).alias("n_id"),
         F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos"),
-    )
+    ).dropDuplicates(["q_id", "n_id"])
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
         F.col("rnk") <= k

@@ -193,7 +193,21 @@ def crawl_oracle(
             if kind == "filtered":
                 continue
 
-            row = pages.get(e["url"])
+            # fast redirect strategy (reference default): the client
+            # follows chains transparently — fetch the final target and
+            # record the hops (http/Requests.kt:63-78; hop cap like a
+            # real client's redirect limit)
+            fetch_url = e["url"]
+            chain = []
+            if config.use_fast_redirect_strategy and config.follow_redirects:
+                for _ in range(5):
+                    hop = redirects.get(fetch_url)
+                    if hop is None:
+                        break
+                    chain.append(dict(url=fetch_url, status=hop[0]))
+                    fetch_url = parse_url(hop[1] or "", parse_url(fetch_url)).canonical
+
+            row = pages.get(fetch_url)
             if row is None:
                 res.events.append(dict(url=e["url"], parent_url=e["parent"], round=rnd,
                                        kind="fetch_error", detail="no corpus row"))
@@ -217,6 +231,7 @@ def crawl_oracle(
                 action=e["_action"],
                 status=redirect[0] if redirect else 200,
                 text=row["text"], lang=row.get("lang"),
+                redirect_history=chain or None,
             ))
 
             if redirect is not None:
@@ -227,7 +242,10 @@ def crawl_oracle(
                                      enq_round=rnd + 1,
                                      seq=child_seq(e["url"], "redirect")))
             elif e["_action"] == "visit":
-                for li, link in enumerate(harvest_links(row["html"], e["url"])):
+                # relative hrefs resolve against the chain's final url
+                # (the content base); parent + seq stay on the requested
+                # url, matching the engine's harvest
+                for li, link in enumerate(harvest_links(row["html"], fetch_url)):
                     children.append(dict(
                         url=link["out_url"], host=link["host"], root=e["root"],
                         parent=e["url"], depth=e["depth"] + 1,

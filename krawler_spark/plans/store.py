@@ -201,7 +201,7 @@ class SnapshotStore:
         ).select(
             "url", "host", "depth", "root_page_id", "parent_url",
             F.col("r").cast("int").alias("fetch_round"),
-            "host_seq", "action", "status", "text", "lang",
+            "host_seq", "action", "status", "text", "lang", "redirect_history",
         )
 
     def read_events(self, upto_round: int) -> Optional[DataFrame]:

@@ -49,6 +49,8 @@ HISTORY = StructType([
 ])
 
 # Visited/checked output (KrawlAction dispatch, Krawler.kt:424-433).
+# redirect_history mirrors KrawlDocument's RedirectHistoryNode chain
+# (http/Requests.kt:63-78) in fast-redirect mode; null otherwise.
 VISITED = StructType([
     StructField("url", StringType(), False),
     StructField("host", StringType(), True),
@@ -61,6 +63,14 @@ VISITED = StructType([
     StructField("status", IntegerType(), True),
     StructField("text", StringType(), True),
     StructField("lang", StringType(), True),
+    StructField(
+        "redirect_history",
+        ArrayType(StructType([
+            StructField("url", StringType(), True),
+            StructField("status", IntegerType(), True),
+        ])),
+        True,
+    ),
 ])
 
 SEEDS = StructType([

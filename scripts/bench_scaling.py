@@ -26,7 +26,7 @@ def run_bench(cpus: int, hosts: int, pages: int) -> dict:
         KS_BENCH_PAGES_PER_HOST=str(pages),
         # multi-million-row rounds cache GBs; a small heap evicts cached
         # blocks mid-query under concurrent writer threads
-        SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
+        SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "40g"),
         # shuffle + warehouse on tmpfs: on a real cluster local disk
         # bandwidth scales with executor count; the sandbox's single
         # shared disk would otherwise dominate the core-count proxy
@@ -47,9 +47,9 @@ def run_bench(cpus: int, hosts: int, pages: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--hosts", type=int, default=64)
-    ap.add_argument("--pages", type=int, default=3000)
+    ap.add_argument("--pages", type=int, default=12000)
     ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--reps", type=int, default=3,
+    ap.add_argument("--reps", type=int, default=2,
                     help="repetitions per config; min is kept (the host "
                     "is shared — noise waves only ever slow a run down)")
     args = ap.parse_args()

@@ -163,6 +163,45 @@ def test_salted_politeness_equivalence(spark, warehouse):
     _assert_equivalent(eng, oracle_res)
 
 
+def test_fast_redirect_chain_equivalence(spark, warehouse):
+    """O14 fast strategy: chains are followed transparently; the visited
+    row keeps the requested url, carries the hop chain
+    (redirect_history, Requests.kt:63-78), and harvests the final
+    target's content with hrefs resolved against the final url."""
+    from krawler_spark.schemas import REDIRECTS
+
+    rows, pages_dict = _corpus()
+    redirects = {
+        "http://www.site-0.com/moved": (301, "/hop2"),
+        "http://www.site-0.com/hop2": (302, "/p/1.html"),
+    }
+    cfg = CrawlConfig(deterministic_history_ids=True, max_depth=2,
+                      round_seconds=1.0)  # fast strategy is the default
+    seeds = default_seeds(N_HOSTS) + ["http://www.site-0.com/moved"]
+    oracle_res = crawl_oracle(seeds, pages_dict, cfg, redirects=redirects)
+    redirects_df = spark.createDataFrame(
+        [(u, s, l) for u, (s, l) in redirects.items()], REDIRECTS
+    )
+    eng = _run_engine(spark, warehouse, rows, cfg, seeds=seeds,
+                      redirects=redirects_df)
+    _assert_equivalent(eng, oracle_res)
+    chains = {
+        r["url"]: r["redirect_history"] for r in eng.visited().collect()
+    }
+    moved = chains["http://www.site-0.com/moved"]
+    assert [(h["url"], h["status"]) for h in moved] == [
+        ("http://www.site-0.com/moved", 301),
+        ("http://www.site-0.com/hop2", 302),
+    ]
+    oracle_moved = next(v for v in oracle_res.visited
+                        if v["url"] == "http://www.site-0.com/moved")
+    assert [(h["url"], h["status"]) for h in moved] == [
+        (h["url"], h["status"]) for h in oracle_moved["redirect_history"]
+    ]
+    # the chained row fetched the final target's content
+    assert oracle_moved["text"] == pages_dict["http://www.site-0.com/p/1.html"]["text"]
+
+
 def test_clear_history_frees_urls(spark, warehouse):
     """O20: cleared rounds disappear from the URL-seen set."""
     rows, _ = _corpus()

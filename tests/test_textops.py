@@ -117,6 +117,32 @@ def test_lsh_ann_returns_bucket_neighbors(spark):
     assert all(r["n_id"] < 15 for r in out)
 
 
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    """Multi-probe LSH must recover most of the exact top-k on a mixed
+    cluster/noise fixture (recall ≥ 0.6 with 4 planes + Hamming-1
+    probes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(60):
+        c = i % 3
+        center = np.eye(3)[c].repeat(4) * 3.0
+        v = center + rng.randn(12) * 0.5
+        rows.append((i, [float(x) for x in v], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in T.cosine_topk(emb, query_ids=[0, 1, 2], k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in T.lsh_bucketed_ann(emb, query_ids=[0, 1, 2], k=5, planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+
 def test_embedding_neardup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0], 0),
