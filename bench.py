@@ -147,10 +147,11 @@ def main() -> None:
 
     qs = entry.queries()
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        _count(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    if not os.environ.get("KS_BENCH_CRAWL_ONLY"):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            _count(qs[name](spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
 
     hosts = int(os.environ.get("KS_BENCH_HOSTS", "64"))
     pph = int(os.environ.get("KS_BENCH_PAGES_PER_HOST", "1200"))

@@ -496,13 +496,15 @@ class CrawlEngine:
             adm2 = admitted.withColumn("_eff", F.col("url")).withColumn(
                 "redirect_history", F.lit(None).cast(_REDIR_HIST_T)
             )
-        fetched = adm2.join(
-            self.pages.select(
-                F.col("url").alias("_eff"), "html", "text", "lang"
-            ),
-            "_eff",
-            "left",
+        # Optional corpus `status` column (real response codes; absent →
+        # every hit synthesizes 200 like the offline-fetch default).
+        has_status = "status" in self.pages.columns
+        page_cols = [F.col("url").alias("_eff"), "html", "text", "lang"] + (
+            [F.col("status").alias("_pstatus")] if has_status else []
         )
+        fetched = adm2.join(self.pages.select(*page_cols), "_eff", "left")
+        if not has_status:
+            fetched = fetched.withColumn("_pstatus", F.lit(None).cast("int"))
         if slow_redirects:
             fetched = fetched.join(
                 F.broadcast(
@@ -597,7 +599,7 @@ class CrawlEngine:
             visited, "visited",
             host_seq=F.col("_hs").cast("int"),
             action=F.when(F.col("_visit"), F.lit("visit")).otherwise(F.lit("check")),
-            status=F.coalesce(F.col("_rstatus"), F.lit(200)),
+            status=F.coalesce(F.col("_rstatus"), F.col("_pstatus"), F.lit(200)),
             counting=F.col("_counting"),
             text=F.col("text"), lang=F.col("lang"),
         ).repartition(spark.sparkContext.defaultParallelism)
@@ -636,6 +638,20 @@ class CrawlEngine:
         ev_part = _to_delta(rep.select(*_FF), "repeat_visit")
         if depth_cut is not None:
             ev_part = ev_part.unionByName(_to_delta(depth_cut, "depth_cut"))
+        if has_status:
+            # onUnexpectedStatusCode's side-output analogue
+            # (Krawler.kt:150-160): the page is still visited + harvested
+            # (the reference declares the hook without gating on it);
+            # the event just surfaces the code.
+            bad = ok.filter(
+                F.col("_rstatus").isNull()
+                & F.col("_pstatus").isNotNull()
+                & ((F.col("_pstatus") < 200) | (F.col("_pstatus") >= 400))
+            ).select(*_FF, F.col("_pstatus"))
+            ev_part = ev_part.unionByName(
+                _to_delta(bad, "unexpected_status",
+                          detail=F.col("_pstatus").cast("string")).drop("_pstatus")
+            )
 
         # --- 9+10. harvest: redirects re-enqueue + link extraction -------------
         # The fetch-join output is partitioned by host (politeness window),

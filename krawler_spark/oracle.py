@@ -225,14 +225,21 @@ def crawl_oracle(
 
             hs = host_seq.get(e["host"], 0) + 1
             host_seq[e["host"]] = hs
+            status = redirect[0] if redirect else row.get("status") or 200
             res.visited.append(dict(
                 url=e["url"], host=e["host"], depth=e["depth"], root_page_id=e["root"],
                 parent_url=e["parent"], fetch_round=rnd, host_seq=hs,
                 action=e["_action"],
-                status=redirect[0] if redirect else 200,
+                status=status,
                 text=row["text"], lang=row.get("lang"),
                 redirect_history=chain or None,
             ))
+            if redirect is None and not (200 <= status < 400):
+                # onUnexpectedStatusCode analogue: page still visited +
+                # harvested (Krawler.kt:150-160 declares the hook only)
+                res.events.append(dict(url=e["url"], parent_url=e["parent"],
+                                       round=rnd, kind="unexpected_status",
+                                       detail=str(status)))
 
             if redirect is not None:
                 pu = parse_url(e["url"])

@@ -56,7 +56,8 @@ from pyspark.sql import functions as F
 # history insert — Krawler.kt:369-380)
 HIST_KINDS = ("visited", "fetch_error", "filtered", "robots_denied", "budget_extra")
 # kinds surfaced as side-output events (O21)
-EVENT_KINDS = ("repeat_visit", "depth_cut", "robots_denied", "fetch_error")
+EVENT_KINDS = ("repeat_visit", "depth_cut", "robots_denied", "fetch_error",
+               "unexpected_status")
 # kinds that form the next round's frontier
 FRONTIER_KINDS = ("child", "deferred")
 

@@ -202,6 +202,45 @@ def test_fast_redirect_chain_equivalence(spark, warehouse):
     assert oracle_moved["text"] == pages_dict["http://www.site-0.com/p/1.html"]["text"]
 
 
+def test_status_codes_and_unexpected_status_events(spark, warehouse):
+    """O13/O21: a corpus `status` column flows to visited rows, and
+    non-2xx/3xx hits surface as unexpected_status events — the
+    side-output analogue of onUnexpectedStatusCode (Krawler.kt:150-160;
+    the reference declares the hook and still harvests/visits the page,
+    so the row stays a normal visit)."""
+    from pyspark.sql import functions as F
+    from krawler_spark.schemas import PAGES
+
+    rows, pages_dict = _corpus()
+    # mark every 5th page as a 404 (body kept — reference harvests anyway)
+    statuses = {}
+    for i, r in enumerate(rows):
+        statuses[r[0]] = 404 if (not r[0].endswith("robots.txt") and i % 5 == 1) else 200
+    for u, st in statuses.items():
+        if u in pages_dict:
+            pages_dict[u]["status"] = st
+    cfg = CrawlConfig(deterministic_history_ids=True, max_depth=3, round_seconds=1.0)
+    oracle_res = crawl_oracle(default_seeds(N_HOSTS), pages_dict, cfg)
+    pages_df = spark.createDataFrame(rows, PAGES).withColumn(
+        "status", F.udf(lambda u: statuses.get(u, 200), "int")("url")
+    )
+    eng = CrawlEngine(spark, pages_df, config=cfg,
+                      store=SnapshotStore(spark, warehouse))
+    eng.run(default_seeds(N_HOSTS))
+    _assert_equivalent(eng, oracle_res)
+    vis_status = {r["url"]: r["status"] for r in eng.visited().collect()}
+    oracle_status = {v["url"]: v["status"] for v in oracle_res.visited}
+    assert vis_status == oracle_status
+    assert any(s == 404 for s in vis_status.values())
+    eng_unexpected = sorted(
+        r["url"] for r in eng.events().collect() if r["kind"] == "unexpected_status"
+    )
+    oracle_unexpected = sorted(
+        e["url"] for e in oracle_res.events if e["kind"] == "unexpected_status"
+    )
+    assert eng_unexpected == oracle_unexpected and len(eng_unexpected) > 0
+
+
 def test_clear_history_frees_urls(spark, warehouse):
     """O20: cleared rounds disappear from the URL-seen set."""
     rows, _ = _corpus()
