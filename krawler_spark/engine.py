@@ -669,6 +669,8 @@ class CrawlEngine:
         def _harvest(batches: Iterator) -> Iterator:
             import pandas as pd
 
+            from .functions.kanon import fast_child_canonical
+
             for pdf in batches:
                 rows = []
                 for url, eff, html, depth, root in zip(
@@ -683,13 +685,20 @@ class CrawlEngine:
                         # string-based KrawlUrl.new(href, url) — the
                         # reference's harvest never passes anchor attrs
                         # (Krawler.kt:466), so rel=canonical raw-URL
-                        # passthrough does NOT apply to children.
-                        child = parse_url(href, page)
-                        canon = child.canonical
+                        # passthrough does NOT apply to children. Plain
+                        # relative/root-relative hrefs (the ~90% case)
+                        # take the byte-identical fast path; everything
+                        # else runs the full state machine.
+                        fast = fast_child_canonical(href, page)
+                        if fast is not None:
+                            canon, host = fast
+                        else:
+                            child = parse_url(href, page)
+                            canon, host = child.canonical, child.host
                         if link.kind == "anchor" and (canon == "http:///" or not canon.strip()):
                             continue
                         rows.append(
-                            (canon, child.host, int(root) if root is not None else None,
+                            (canon, host, int(root) if root is not None else None,
                              url, int(depth) + 1, int(depth), child_seq(url, li))
                         )
                         li += 1

@@ -523,10 +523,33 @@ def split_domain(host: str) -> tuple[str, str, str]:
 
 
 # ---------------------------------------------------------------------------
-# Arrow-vectorized wrappers (pandas in, pandas out). These are the only
-# entry points the Spark engine uses — `mapInPandas`/`pandas_udf` hand us
-# Arrow record batches and we map the compiled parser over them.
+# Harvest fast path: the overwhelming majority of hrefs on real pages are
+# plain relative or root-relative paths ("p/1.html", "/a/b"). For those the
+# full state machine reduces to scheme://host + slash-prefixed href, so the
+# hot loop runs a single C-level regex test + concat instead of the ~6 µs
+# parser. Eligibility is CONSERVATIVE — any character class the state
+# machine treats specially (scheme/port colon, %-octets, whitespace,
+# dot-segments, protocol-relative //) falls back to the exact parser, and
+# `test_kanon.py::test_fast_child_canonical_matches_parser` property-checks
+# equality against parse_url over generated hrefs + the corpus link shapes.
 # ---------------------------------------------------------------------------
+
+_FAST_INELIGIBLE = re.compile(r"[:%\s]|\.\.|\./")
+
+
+def fast_child_canonical(href: str, page: ParsedUrl):
+    """(canonical, host) via the fast path, or None when the href needs
+    the full parser. Byte-identical to parse_url(href, page).canonical
+    for every href it accepts."""
+    if not href or not page.host or _FAST_INELIGIBLE.search(href):
+        return None
+    if href[0] == "/":
+        if len(href) > 1 and href[1] == "/":
+            return None  # protocol-relative
+        path = href
+    else:
+        path = "/" + href
+    return f"{page.scheme}://{page.host}{path}", page.host
 
 def canonicalize_series(urls, parent_urls=None):
     """pd.Series[str] (+ optional parents) → pd.Series[str] canonical forms."""

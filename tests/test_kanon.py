@@ -152,3 +152,50 @@ def test_vectorized_wrappers_match_scalar():
     assert frame.loc[0, "host"] == "www.xyz.abc.com"
     assert frame.loc[0, "domain"] == "abc.com"
     assert bool(frame.loc[2, "valid"])
+
+
+def test_fast_child_canonical_matches_parser():
+    """The harvest fast path must be byte-identical to parse_url for
+    every href it accepts — property-checked over generated hrefs plus
+    the corpus link shapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from krawler_spark.functions.kanon import fast_child_canonical, parse_url
+
+    page = parse_url("http://www.site-3.com/p/7.html")
+
+    fixed = [
+        "p/1.html", "/p/2.html", "blocked/3.html", "/blocked/4.html",
+        "a/b/c", "x.html", "/", "q?x=1&y=2", "img/5.png", "a#frag",
+        "http://other.com/x", "//host/y", "./rel", "../up", "a%20b",
+        "has space", "mailto:x@y", "p/./q", "p/../q", "", "a:b",
+    ]
+    for href in fixed:
+        fast = fast_child_canonical(href, page)
+        if fast is not None:
+            child = parse_url(href, page)
+            assert fast == (child.canonical, child.host), href
+
+    alphabet = st.sampled_from(list("abz019./:%#?&=_- ~"))
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=0, max_size=24))
+    def prop(href):
+        fast = fast_child_canonical(href, page)
+        if fast is not None:
+            child = parse_url(href, page)
+            assert fast == (child.canonical, child.host)
+
+    prop()
+
+
+def test_fast_child_canonical_covers_common_shapes():
+    from krawler_spark.functions.kanon import fast_child_canonical, parse_url
+
+    page = parse_url("http://www.site-3.com/p/7.html")
+    assert fast_child_canonical("p/1.html", page) is not None
+    assert fast_child_canonical("/p/2.html", page) is not None
+    assert fast_child_canonical("http://x.com/a", page) is None  # colon → slow
+    assert fast_child_canonical("//x.com/a", page) is None
+    assert fast_child_canonical("a b", page) is None
