@@ -279,6 +279,14 @@ def q_dedup_simhash(spark, sf_dir):
     return T.simhash64(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the LSH near-dup graph — cluster_id =
+    min doc id per component (the keep-one-per-cluster dedup step)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    pairs = T.minhash_lsh_pairs(d, k=4, bands=2)
+    return T.dedup_clusters(d, pairs)
+
+
 def q_text_token_count(spark, sf_dir):
     return T.token_count(_docs(spark, sf_dir))
 
@@ -476,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -725,6 +734,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents""",
+        "dedup_clusters": _SHINGLES_CTE.format(filt="doc_id < 200").replace(
+            "WITH words", "WITH RECURSIVE words"
+        ) + f""",
+            sigs AS (
+              SELECT doc_id,
+                     {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1,
+                     {_mh_sql(2)} AS mh2, {_mh_sql(3)} AS mh3
+              FROM sh),
+            bandrows AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM sigs
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bh FROM sigs),
+            capped AS (
+              SELECT doc_id, band, bh FROM (
+                SELECT doc_id, band, bh,
+                       row_number() OVER (PARTITION BY band, bh
+                                          ORDER BY doc_id) AS rnk
+                FROM bandrows) WHERE rnk <= 64),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM capped a JOIN capped b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs),
+            lab AS (
+              SELECT doc_id AS node, doc_id AS label
+              FROM documents WHERE doc_id < 200
+              UNION
+              SELECT e.dst AS node, l.label
+              FROM lab l JOIN edges e ON e.src = l.node)
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM lab GROUP BY node""",
         "dedup_simhash": """
             WITH words AS (
               SELECT doc_id,

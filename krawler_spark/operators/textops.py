@@ -191,6 +191,44 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
 
 
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (node, cluster_id) with cluster_id = the component's minimum doc id
+    — the canonical "keep one per duplicate cluster" step downstream of
+    MinHash-LSH. Min-label propagation: each iteration is one join +
+    one map-side-combinable groupBy(min), so 100 TB runs as `max_iter`
+    ordinary shuffles with no driver state (at extreme diameters swap
+    in large-star/small-star — same primitive ops). Near-dup components
+    of web text are shallow (dup clusters, not chains), so a fixed
+    iteration budget converges; the equivalence oracle (a recursive
+    ANSI-SQL CTE) verifies exact convergence on test data."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for i in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        labels = labels.unionByName(prop).groupBy("node").agg(
+            F.min("label").alias("label")
+        )
+        if (i + 1) % 3 == 0:
+            # truncate lineage: nested join+agg layers otherwise blow up
+            # Catalyst planning time exponentially (on a cluster this is
+            # a reliable checkpoint to the warehouse instead)
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 # -------------------------------------------------------------- text analysis
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword proxy (4 chars/token)."""

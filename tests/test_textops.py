@@ -179,3 +179,13 @@ def test_multimodal_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG....")
+
+
+def test_dedup_clusters_connected_components(spark):
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2), (6, 7)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in T.dedup_clusters(ids, pairs).collect()}
+    assert out == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 4: 4, 6: 6, 7: 6}
