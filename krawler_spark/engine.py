@@ -57,11 +57,15 @@ from .config import CrawlConfig
 from .functions.extract import extract_links
 from .functions.kanon import parse_url
 from .operators import bloom as bloom_ops
+from .operators.ordered import ordered_cumsum
 from .oracle import child_seq
 from .plans.store import HIST_KINDS, SnapshotStore
 from . import schemas
 
 _FF = [f.name for f in schemas.FRONTIER.fields]
+
+# the total pop order K as plain column names (for range partitioning)
+_POP_COLS = ["priority", "enq_round", "seq", "url"]
 
 # extra delta columns beyond the frontier fields (kind is the partition col)
 _REDIR_HIST_T = "array<struct<url:string,status:int>>"
@@ -323,6 +327,7 @@ class CrawlEngine:
         spark = self.spark
         budget = cfg.per_host_budget
         tm = _Timer(rnd)
+        extra_persists: list = []
 
         # No upfront repartition: the dedup window shuffles by url and the
         # politeness window by host — Catalyst inserts exactly those two
@@ -554,9 +559,11 @@ class CrawlEngine:
                         F.lit(False).alias("_counting"),
                     )
                 )
-            w_all = Window.orderBy(*_pop_order()).rowsBetween(Window.unboundedPreceding, 0)
-            merged = noops_k.withColumn(
-                "_cum", F.sum(F.col("_counting").cast("long")).over(w_all)
+            # global-K cumulative count WITHOUT a single-partition window
+            # (operators/ordered.py: range-partition + two-pass prefix sum)
+            merged = ordered_cumsum(
+                noops_k, _POP_COLS, "_counting", "_cum",
+                persist_registry=extra_persists,
             )
             cut = merged.filter(F.col("_cum") <= remaining).select("url")
             # the exhausting row (first counting row beyond the budget) IS
@@ -621,15 +628,19 @@ class CrawlEngine:
             hist_part = hist_part.unionByName(_to_delta(hist_extra, "budget_extra"))
 
         # history ids (History/Model.kt:23-25): oracle-exact mode assigns
-        # sequential ids in K order (one global sort over the round DELTA,
-        # test-scale only); scale mode is xxhash64(url) — no ordering stage.
+        # sequential ids in K order via the distributed prefix rank
+        # (operators/ordered.py — no single-partition stage even in this
+        # mode); scale default is xxhash64(url), zero ordering stages.
         base_id = state.get("next_history_id", 0)
         if cfg.deterministic_history_ids:
-            w_id = Window.orderBy(*_pop_order())
-            id_col = (F.row_number().over(w_id) - 1 + F.lit(base_id)).cast("long")
+            hist_part = ordered_cumsum(
+                hist_part, _POP_COLS, None, "_rnk",
+                persist_registry=extra_persists,
+            ).withColumn(
+                "id", (F.col("_rnk") - 1 + F.lit(base_id)).cast("long")
+            ).drop("_rnk")
         else:
-            id_col = F.xxhash64("url")
-        hist_part = hist_part.withColumn("id", id_col)
+            hist_part = hist_part.withColumn("id", F.xxhash64("url"))
 
         # --- event-only branches -------------------------------------------------
         rep = dup_events
@@ -817,6 +828,8 @@ class CrawlEngine:
         ranked.unpersist()
         if probed is not None:
             probed.unpersist()
+        for h in extra_persists:
+            h.unpersist()
         return new_state
 
     # ------------------------------------------------------------------ driver
