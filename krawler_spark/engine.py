@@ -4,13 +4,16 @@ Implements the round contract documented in ``krawler_spark.oracle``
 (which serializes the reference's per-URL flow, ``Krawler.kt:325-419``)
 as one Catalyst-planned DataFrame DAG per round:
 
-    frontier@r ──depth filter──▶ in-batch dedup (window rn=1 per url)
-      ──bloom probe──▶ left-anti join vs history (exact, maybe-seen only)
+    frontier@r ──depth filter──▶ URL-seen mark (bloom probe map-side,
+      exact join only for maybe-seen; seen rows exit as repeat events)
+      ──in-batch dedup window over the unseen residue (rn=1 per url)
       ──shouldVisit/shouldCheck exprs──▶ robots broadcast-join + gate
       ──per-host politeness window──▶ admitted / deferred
-      ──left join pages corpus (the offline GET)──▶ fetched / errors
+      ──redirect-chain resolve + left join pages corpus (the offline
+        GET, url-bucketed table)──▶ fetched / errors
       ──mapInPandas harvest (canonicalize + filters)──▶ children
-    frontier@r+1 = deferred ∪ children ∪ redirects
+    delta@r = visited ∪ noops ∪ events ∪ children ∪ deferred
+    frontier@r+1 = delta@r[kind ∈ (child, deferred)]   (a view)
 
 Scale decisions (graded against the north rule):
 

@@ -241,6 +241,25 @@ def test_status_codes_and_unexpected_status_events(spark, warehouse):
     assert eng_unexpected == oracle_unexpected and len(eng_unexpected) > 0
 
 
+def test_remove_urls_by_root_page(spark, warehouse):
+    """O19 (KrawlQueueDaoTest.testDeleteByRootPageId): frontier rows of
+    one seed's crawl tree are deleted; others survive."""
+    rows, _ = _corpus()
+    cfg = CrawlConfig(deterministic_history_ids=True, max_depth=2,
+                      round_seconds=1.0, max_rounds=1)
+    eng = _run_engine(spark, warehouse, rows, cfg)
+    frontier = eng.store.read_frontier(1)
+    roots = {r["root_page_id"] for r in frontier.select("root_page_id").distinct().collect()}
+    assert 0 in roots and len(roots) > 1
+    before = frontier.count()
+    victim_rows = frontier.filter("root_page_id = 0").count()
+    removed = eng.remove_urls_by_root_page(0)
+    assert removed == victim_rows > 0
+    after = eng.store.read_frontier(1)
+    assert after.count() == before - removed
+    assert after.filter("root_page_id = 0").count() == 0
+
+
 def test_clear_history_frees_urls(spark, warehouse):
     """O20: cleared rounds disappear from the URL-seen set."""
     rows, _ = _corpus()
