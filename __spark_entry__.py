@@ -72,6 +72,26 @@ WITH base AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
 """
 
+# Word-bigram repetition counts (Gopher repetition signals) — the
+# oracle twin of textops.repetition_scores. DuckDB list indexing is
+# 1-based; range(1, len) yields 1..len-1, pairing ws[i] with ws[i+1]
+# exactly like the Spark transform-over-slice.
+_REPETITION_CTE = """
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws), 1)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS g
+  FROM ws),
+gcounts AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+rep_agg AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS topc,
+         coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dupc
+  FROM gcounts GROUP BY doc_id)
+"""
+
 
 def _mh_sql(i: int) -> str:
     return (
@@ -303,6 +323,19 @@ def q_text_fingerprint(spark, sf_dir):
     return T.fingerprint(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark, sf_dir):
+    return T.repetition_scores(_docs(spark, sf_dir))
+
+
+def q_text_quality_filter(spark, sf_dir):
+    return T.quality_filter(_docs(spark, sf_dir))
+
+
+def q_ann_ivf(spark, sf_dir):
+    return T.ivf_ann(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5,
+                     cell_stride=25, nprobe=3)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return T.cosine_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
@@ -489,7 +522,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_quality_filter": q_text_quality_filter,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "emb_neardup_pairs": q_emb_neardup_pairs,
         "multimodal_sniff": q_multimodal_sniff,
@@ -687,6 +723,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM base b JOIN base q
                   ON q.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id != q.vec_id))
             WHERE rnk <= 5""",
+        "ann_ivf": _EMB_BASE + """,
+            cents AS (
+              SELECT vec_id AS cent_id, v AS cv FROM base
+              WHERE vec_id % 25 = 0),
+            scored AS (
+              SELECT b.vec_id, b.v, c.cent_id,
+                     round(list_cosine_similarity(b.v, c.cv), 4) AS ccos
+              FROM base b JOIN cents c ON b.vec_id != c.cent_id),
+            assign AS (
+              SELECT vec_id, cell, v FROM (
+                SELECT vec_id, v, cent_id AS cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id DESC) AS r
+                FROM scored) WHERE r = 1
+              UNION ALL
+              SELECT cent_id AS vec_id, cent_id AS cell, cv AS v FROM cents),
+            probes AS (
+              SELECT vec_id AS q_id, v AS qv, cent_id AS cell FROM (
+                SELECT vec_id, v, cent_id, ccos,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id DESC) AS r
+                FROM scored WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE r <= 3),
+            cand AS (
+              SELECT DISTINCT p.q_id, a.vec_id AS n_id,
+                     round(list_cosine_similarity(p.qv, a.v), 4) AS cos
+              FROM assign a JOIN probes p USING (cell)
+              WHERE a.vec_id != p.q_id)
+            SELECT q_id, n_id, cos, rnk FROM (
+              SELECT q_id, n_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, n_id) AS rnk
+              FROM cand) WHERE rnk <= 5""",
         "emb_neardup_pairs": _EMB_BASE + """
             SELECT id_a, id_b, cos FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -734,6 +802,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents""",
+        "text_repetition": _REPETITION_CTE + """
+            SELECT d.doc_id,
+                   CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   round(coalesce(topc / n_bigrams, 0), 4) AS top_bigram_frac,
+                   round(coalesce(dupc / n_bigrams, 0), 4) AS dup_bigram_frac
+            FROM documents d LEFT JOIN rep_agg USING (doc_id)""",
+        "text_quality_filter": _REPETITION_CTE + """,
+            feats AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                     round(length(text)
+                           / len(string_split_regex(trim(text), '\\s+')), 4)
+                       AS avg_word_len,
+                     round(coalesce(
+                       (SELECT topc / n_bigrams FROM rep_agg r
+                        WHERE r.doc_id = documents.doc_id), 0), 4)
+                       AS top_bigram_frac
+              FROM documents),
+            ruled AS (
+              SELECT doc_id, n_words, avg_word_len, top_bigram_frac,
+                     CASE WHEN n_words < 30 THEN 'too_short'
+                          WHEN n_words > 100000 THEN 'too_long'
+                          WHEN avg_word_len < 3.0 THEN 'short_words'
+                          WHEN avg_word_len > 10.0 THEN 'long_words'
+                          WHEN top_bigram_frac > 0.20 THEN 'repetitive'
+                          ELSE NULL END AS fail_reason
+              FROM feats)
+            SELECT doc_id, n_words, avg_word_len, top_bigram_frac,
+                   fail_reason, fail_reason IS NULL AS keep
+            FROM ruled""",
         "dedup_clusters": _SHINGLES_CTE.format(filt="doc_id < 200").replace(
             "WITH words", "WITH RECURSIVE words"
         ) + f""",

@@ -259,6 +259,100 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    fraction of word bigrams taken by the single most frequent bigram
+    (``top_bigram_frac``) and the fraction covered by any bigram that
+    occurs more than once (``dup_bigram_frac``). High values flag
+    boilerplate / machine-generated loops.
+
+    Scale: bigram explode → groupBy (doc, gram) → groupBy doc is two
+    hash-shuffles keyed by doc_id with full map-side combine; no
+    windows, no driver state. Docs with <2 words keep a row with
+    n_bigrams=0 via the left join back onto the id set.
+    """
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), ws.alias("ws"))
+    grams = base.select(
+        F.col(id_col),
+        F.when(
+            F.size("ws") >= 2,
+            F.expr("transform(slice(ws, 1, size(ws)-1), (w, i) -> concat(w, ' ', ws[i+1]))"),
+        ).otherwise(F.expr("array()").cast("array<string>")).alias("grams"),
+    )
+    counts = (
+        grams.select(F.col(id_col), F.explode("grams").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("_top"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).alias("_dup"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(
+                F.coalesce(F.col("_top") / F.col("n_bigrams"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(F.col("_dup") / F.col("n_bigrams"), F.lit(0.0)), 4
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_top_bigram_frac: float = 0.20,
+) -> DataFrame:
+    """Composite Gopher-rule document filter: every doc gets a ``keep``
+    verdict plus the first failing rule name (``fail_reason``), the
+    standard shape for an auditable pipeline gate. Rules are evaluated
+    over JVM column algebra + ``repetition_scores``; one join keyed by
+    doc_id, no extra scans of the text.
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    feats = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.round(F.length(t) / F.size(words), 4).alias("avg_word_len"),
+    )
+    rep = repetition_scores(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), "top_bigram_frac"
+    )
+    j = feats.join(rep, id_col)
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("n_words") > max_words, F.lit("too_long"))
+        .when(F.col("avg_word_len") < min_avg_word_len, F.lit("short_words"))
+        .when(F.col("avg_word_len") > max_avg_word_len, F.lit("long_words"))
+        .when(F.col("top_bigram_frac") > max_top_bigram_frac, F.lit("repetitive"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        F.col(id_col),
+        "n_words",
+        "avg_word_len",
+        "top_bigram_frac",
+        reason.alias("fail_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
 def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-profile language ID (n-gram heuristic tier)."""
     low = F.lower(F.col(text_col))
@@ -415,5 +509,71 @@ def lsh_bucketed_ann(
     ).dropDuplicates(["q_id", "n_id"])
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def ivf_ann(
+    emb: DataFrame,
+    query_ids: List[int],
+    k: int = 5,
+    cell_stride: int = 25,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer (every ``cell_stride``-th
+    vector is a centroid — the deterministic stand-in for k-means
+    centroids, which a real deployment would train offline and pass in)
+    assigns each vector to its nearest centroid's cell; each query
+    probes its ``nprobe`` nearest cells and ranks only those members.
+
+    Scale (10^10 vectors): centroids are a small broadcast side — the
+    assignment is one broadcast join + per-row argmax (groupBy vec_id
+    with map-side combine, never a window over the corpus). The probe
+    join is keyed by cell id, so per-query work is bounded by
+    nprobe × avg cell size instead of the corpus. Cosine is rounded to
+    4 digits BEFORE the argmax with centroid-id tiebreak, so the cell
+    assignment is bit-identical across engines (same contract as the
+    LSH variant's sign bits).
+    """
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), vec_d.alias("v"))
+    cents = base.filter(F.col(id_col) % cell_stride == 0).select(
+        F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
+    )
+    scored = base.join(F.broadcast(cents), F.col(id_col) != F.col("cent_id"), "inner").select(
+        F.col(id_col), "v", "cent_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 4).alias("ccos"),
+    )
+    # nearest cell per vector: max (ccos, cent_id) struct — a groupBy
+    # argmax (map-side combinable), not a corpus-wide window
+    assign = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("ccos"), F.col("cent_id"))).alias("_m"),
+        F.first("v").alias("v"),
+    ).select(F.col(id_col), F.col("_m.cent_id").alias("cell"), "v")
+    # centroids belong to their own cell
+    assign = assign.unionByName(
+        cents.select(F.col("cent_id").alias(id_col), F.col("cent_id").alias("cell"),
+                     F.col("cv").alias("v"))
+    )
+    w_probe = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cent_id").desc()
+    )
+    probes = (
+        scored.filter(F.col(id_col).isin(query_ids))
+        .withColumn("_r", F.row_number().over(w_probe))
+        .filter(F.col("_r") <= nprobe)
+        .select(F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
+                F.col("cent_id").alias("cell"))
+    )
+    cand = assign.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col("q_id")
+    ).select(
+        "q_id", F.col(id_col).alias("n_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos"),
+    ).dropDuplicates(["q_id", "n_id"])
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return cand.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
         F.col("rnk") <= k
     )

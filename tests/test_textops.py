@@ -189,3 +189,68 @@ def test_dedup_clusters_connected_components(spark):
     out = {r["doc_id"]: r["cluster_id"]
            for r in T.dedup_clusters(ids, pairs).collect()}
     assert out == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 4: 4, 6: 6, 7: 6}
+
+
+def test_repetition_scores(spark):
+    rows = [
+        (0, "a b a b a b"),            # bigrams: 'a b'x3, 'b a'x2 → all dup
+        (1, "one two three four"),     # 3 distinct bigrams, no repeats
+        (2, "solo"),                   # <2 words → zero bigrams
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.repetition_scores(df).collect()}
+    assert out[0]["n_bigrams"] == 5
+    assert out[0]["top_bigram_frac"] == 0.6      # 3/5
+    assert out[0]["dup_bigram_frac"] == 1.0      # every bigram repeats
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["top_bigram_frac"] == round(1 / 3, 4)
+    assert out[1]["dup_bigram_frac"] == 0.0
+    assert out[2]["n_bigrams"] == 0 and out[2]["top_bigram_frac"] == 0.0
+    assert 3 in out                              # empty text keeps its row
+
+
+def test_quality_filter_rules(spark):
+    long_ok = " ".join(f"word{i % 40}x" for i in range(50))
+    repetitive = "spam ham " * 30
+    rows = [
+        (0, long_ok),
+        (1, "too short"),
+        (2, repetitive.strip()),
+        (3, " ".join("supercalifragilistic" for _ in range(40))),  # long words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.quality_filter(df).collect()}
+    assert out[0]["keep"] and out[0]["fail_reason"] is None
+    assert out[1]["fail_reason"] == "too_short"
+    assert out[2]["fail_reason"] == "repetitive"
+    assert out[3]["fail_reason"] == "long_words"
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF with 3-cell probe must recover most of the exact top-k on a
+    clustered fixture (same shape as the LSH recall test)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(60):
+        c = i % 3
+        center = np.eye(3)[c].repeat(4) * 3.0
+        v = center + rng.randn(12) * 0.5
+        rows.append((i, [float(x) for x in v], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in T.cosine_topk(emb, query_ids=[0, 1, 2], k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in T.ivf_ann(emb, query_ids=[0, 1, 2], k=5,
+                           cell_stride=10, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    ranks = [r["rnk"] for r in T.ivf_ann(emb, query_ids=[0], k=5,
+                                         cell_stride=10, nprobe=2).collect()]
+    assert sorted(ranks) == [1, 2, 3, 4, 5]
