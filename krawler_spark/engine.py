@@ -82,6 +82,7 @@ _DELTA_EXTRA = [
     ("lang", "string"),
     ("detail", "string"),
     ("redirect_history", _REDIR_HIST_T),
+    ("headers", "map<string,string>"),
 ]
 
 
@@ -612,6 +613,14 @@ class CrawlEngine:
             status=F.coalesce(F.col("_rstatus"), F.col("_pstatus"), F.lit(200)),
             counting=F.col("_counting"),
             text=F.col("text"), lang=F.col("lang"),
+            # KrawlDocument's lower-cased response headers
+            # (KrawlDocument.kt:51-61). The offline fetch synthesizes the
+            # canonical pair a static server would send; a live connector
+            # would substitute the real (lower-cased) response map here.
+            headers=F.create_map(
+                F.lit("content-type"), F.lit("text/html; charset=utf-8"),
+                F.lit("content-length"), F.length(F.col("html")).cast("string"),
+            ),
         ).repartition(spark.sparkContext.defaultParallelism)
 
         # --- history-consumed noop branches ------------------------------------

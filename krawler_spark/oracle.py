@@ -233,6 +233,12 @@ def crawl_oracle(
                 status=status,
                 text=row["text"], lang=row.get("lang"),
                 redirect_history=chain or None,
+                # synthesized lower-cased response headers — must mirror
+                # the engine's offline-fetch pair byte for byte
+                headers={
+                    "content-type": "text/html; charset=utf-8",
+                    "content-length": str(len(row["html"])),
+                },
             ))
             if redirect is None and not (200 <= status < 400):
                 # onUnexpectedStatusCode analogue: page still visited +

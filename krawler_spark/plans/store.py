@@ -203,6 +203,7 @@ class SnapshotStore:
             "url", "host", "depth", "root_page_id", "parent_url",
             F.col("r").cast("int").alias("fetch_round"),
             "host_seq", "action", "status", "text", "lang", "redirect_history",
+            "headers",
         )
 
     def read_events(self, upto_round: int) -> Optional[DataFrame]:

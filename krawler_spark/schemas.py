@@ -10,6 +10,7 @@ from pyspark.sql.types import (
     BooleanType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -71,6 +72,8 @@ VISITED = StructType([
         ])),
         True,
     ),
+    # lower-cased response headers (KrawlDocument.kt:51-61)
+    StructField("headers", MapType(StringType(), StringType()), True),
 ])
 
 SEEDS = StructType([

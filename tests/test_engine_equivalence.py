@@ -25,7 +25,8 @@ def _corpus():
 def _visited_key(rows):
     return sorted(
         (r["url"], r["depth"], r["root_page_id"], r["parent_url"],
-         r["fetch_round"], r["host_seq"], r["action"], r["text"])
+         r["fetch_round"], r["host_seq"], r["action"], r["text"],
+         tuple(sorted((r.get("headers") or {}).items())))
         for r in rows
     )
 
