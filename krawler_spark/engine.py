@@ -684,7 +684,14 @@ class CrawlEngine:
         # `_eff` (the redirect chain's final url) is the resolution base
         # for relative hrefs — the content lives there; children keep the
         # requested url as parent (and as the child_seq key).
-        harvest_src = ok.filter(F.col("_visit") & F.col("_rstatus").isNull()).select(
+        # Both actions harvest (Krawler.kt:409-415); a check's HEAD
+        # response has no body (Requests.kt:137), so its harvest input is
+        # the empty document. Empty-body rows are filtered before the
+        # python stage — semantics identical, zero rows shipped.
+        harvest_src = ok.filter(F.col("_rstatus").isNull()).withColumn(
+            "html",
+            F.when(F.col("_visit"), F.col("html")).otherwise(F.lit(b"")),
+        ).filter(F.length("html") > 0).select(
             "url", "_eff", "html", "depth", "root_page_id"
         ).repartition(spark.sparkContext.defaultParallelism * 2)
         priority_expr = self.priority_expr

@@ -46,7 +46,8 @@ For each round over frontier ``F_r``:
     ``location`` resolved against the current url at the SAME depth,
     default priority 0 (Krawler.kt:446-457); the row is emitted to
     visited but not counted (visitCount decrement).
-10. harvest (GET actions only — HEAD responses carry no body):
+10. harvest (both actions per Krawler.kt:409-415; a check's HEAD
+    response carries no body, so only GET bodies yield links):
     anchors + srcs with the reference filters; children at ``depth+1``,
     priority = ``assign_priority`` (default 1), enqueued with
     ``seq = crc32(parent_url + ":" + link_index)`` — a deterministic,
@@ -254,11 +255,15 @@ def crawl_oracle(
                                      parent=e["url"], depth=e["depth"], priority=0,
                                      enq_round=rnd + 1,
                                      seq=child_seq(e["url"], "redirect")))
-            elif e["_action"] == "visit":
-                # relative hrefs resolve against the chain's final url
+            else:
+                # the reference harvests BOTH actions (Krawler.kt:409-415)
+                # — but a check is a HEAD fetch (Requests.kt:137) whose
+                # response has no body, so its harvest yields no links.
+                # Relative hrefs resolve against the chain's final url
                 # (the content base); parent + seq stay on the requested
-                # url, matching the engine's harvest
-                for li, link in enumerate(harvest_links(row["html"], fetch_url)):
+                # url, matching the engine's harvest.
+                body = row["html"] if e["_action"] == "visit" else b""
+                for li, link in enumerate(harvest_links(body, fetch_url)):
                     children.append(dict(
                         url=link["out_url"], host=link["host"], root=e["root"],
                         parent=e["url"], depth=e["depth"] + 1,
