@@ -333,7 +333,7 @@ def q_text_quality_filter(spark, sf_dir):
 
 def q_ann_ivf(spark, sf_dir):
     return T.ivf_ann(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5,
-                     cell_stride=25, nprobe=3)
+                     cell_stride=25, nprobe=3, dim=64)
 
 
 def q_ann_cosine_topk(spark, sf_dir):

@@ -38,7 +38,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_pairs",
     "text_quality",
     "text_langid",
+    "text_repetition",
+    "text_quality_filter",
     "ann_cosine_topk",
+    "ann_ivf",
     "emb_neardup_pairs",
     "events_window_agg",
 ]
