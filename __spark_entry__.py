@@ -472,6 +472,70 @@ def _crawl_visited_oracle_rows(sf_dir: str = _ORACLE_SF_DIR):
     ]
 
 
+def _warc_records(sf_dir: str = _ORACLE_SF_DIR):
+    """Deterministic WARC response records derived from the documents
+    table (the fixture inputs of the warc_roundtrip contract)."""
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "WHERE doc_id < 40 ORDER BY doc_id"
+    ).fetchall()
+    n = len(docs)
+    recs = []
+    for doc_id, text in docs:
+        doc_id = int(doc_id)
+        url, html = _doc_page(doc_id, text, n)
+        ts = f"2024-02-{doc_id % 28 + 1:02d}T03:{doc_id % 60:02d}:00Z"
+        status = 200 if doc_id % 11 else 404
+        recs.append((url, ts, status, html.encode("utf-8")))
+    return recs
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC writer→parser→pages roundtrip on Spark: two archives (one
+    gzipped) record-split in mapInPandas. The oracle is the VALUES
+    table of the records as HANDED TO the writer (url/ts/status) plus
+    extract_text of the same html — independent of the parser under
+    test. Pinned to the driver's sf0.01 comparison scale like
+    crawl_visited."""
+    from krawler_spark.sources.warc import build_warc_bytes, warc_to_pages
+
+    recs = _warc_records(sf_dir)
+    blobs = [
+        (bytearray(build_warc_bytes(recs[0::2])),),
+        (bytearray(build_warc_bytes(recs[1::2], compress=True)),),
+    ]
+    arch = spark.createDataFrame(blobs, "content binary")
+    pages = warc_to_pages(arch, with_status=True)
+    return pages.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "text", "lang", "status",
+    )
+
+
+def _warc_oracle_sql() -> str:
+    from krawler_spark.functions.extract import extract_text
+
+    def lit(v):
+        if v is None:
+            return "CAST(NULL AS VARCHAR)"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    rows = []
+    for url, ts, status, html in _warc_records():
+        rows.append((url, ts.replace("T", " ").replace("Z", ""),
+                     extract_text(html), None, status))
+    values = ",\n".join("(" + ", ".join(lit(x) for x in r) + ")" for r in rows)
+    return (
+        "SELECT url, ts, text, lang, CAST(status AS INT) AS status "
+        f"FROM (VALUES {values}) AS t(url, ts, text, lang, status)"
+    )
+
+
 def q_crawl_visited(spark, sf_dir):
     """The flagship: a real multi-round frontier crawl over the
     documents-derived corpus. Its DuckDB oracle is the serial Python
@@ -532,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "events_window_agg": q_events_window_agg,
         "crawl_visited": q_crawl_visited,
+        "warc_roundtrip": q_warc_roundtrip,
     }
 
 
@@ -918,7 +983,13 @@ def oracle_sql() -> dict[str, str]:
 def _maybe_crawl_oracle() -> dict[str, str]:
     """crawl_visited's oracle needs the sf0.01 documents table on disk;
     degrade to rows-only (no entry) if it is absent."""
+    out: dict[str, str] = {}
     try:
-        return {"crawl_visited": _crawl_visited_oracle_sql()}
+        out["crawl_visited"] = _crawl_visited_oracle_sql()
     except Exception:
-        return {}
+        pass
+    try:
+        out["warc_roundtrip"] = _warc_oracle_sql()
+    except Exception:
+        pass
+    return out
