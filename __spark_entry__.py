@@ -348,6 +348,21 @@ def q_emb_neardup_pairs(spark, sf_dir):
     return T.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.25)
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing over the documents-derived payloads.
+    The payload is the UTF-8 text (pure ASCII in the fixture), so each
+    binary frame slice decodes back to a character slice — giving the
+    stubbed sampler an exact SQL oracle over substr()."""
+    from krawler_spark.operators.multimodal import sample_frames
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return sample_frames(d).select(
+        "doc_id", "frame_idx", F.decode(F.col("frame"), "utf-8").alias("frame_str")
+    )
+
+
 def q_multimodal_sniff(spark, sf_dir):
     from krawler_spark.operators.multimodal import sniff_media_type
 
@@ -594,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_pairs": q_emb_neardup_pairs,
         "multimodal_sniff": q_multimodal_sniff,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "events_window_agg": q_events_window_agg,
         "crawl_visited": q_crawl_visited,
         "warc_roundtrip": q_warc_roundtrip,
@@ -969,6 +985,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'application/octet-stream' AS media_type,
                    octet_length(encode(text)) AS n_bytes
             FROM documents""",
+        "multimodal_frames": """
+            SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                   substr(text, CAST(fi * step AS INT) + 1, 16) AS frame_str
+            FROM (
+              SELECT doc_id, text,
+                     least(4, greatest(length(text) // step, 1)) AS nframes,
+                     step
+              FROM (
+                SELECT doc_id, text,
+                       greatest(length(text) // 4, 1) * 2 AS step
+                FROM documents WHERE doc_id < 200)),
+            LATERAL unnest(range(nframes)) AS t(fi)""",
         "events_window_agg": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events,
