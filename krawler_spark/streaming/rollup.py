@@ -130,3 +130,29 @@ def politeness_decisions(requests: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def urlseen_stream(
+    urls: DataFrame,
+    watermark: str = "1 hour",
+    url_col: str = "url",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of the URL-seen dedup (O9) for continuous
+    ingestion: first occurrence of each canonical url passes, repeats
+    within the watermark horizon are dropped, and the dedup state is
+    bounded by that horizon (``dropDuplicatesWithinWatermark`` evicts
+    keys once the watermark passes them). An unbounded crawl pairs this
+    with the bloom-sharded batch anti-join at round boundaries — the
+    stream bounds state, the snapshot store holds the full history.
+
+    Expects CANONICAL urls (the engine canonicalizes at harvest; the
+    seen key must match the batch path's key). Dedup shuffles on the
+    64-bit key, not the string. Batch frames get the plan-equivalent
+    ``dropDuplicates`` so one definition serves both twins."""
+    keyed = urls.withColumn("url_key", F.xxhash64(F.col(url_col)))
+    if urls.isStreaming:
+        return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["url_key"]
+        )
+    return keyed.dropDuplicates(["url_key"])

@@ -114,3 +114,45 @@ def test_submissions_stream_stages_rows(spark, tmp_path):
     # preceding segment (KrawlUrl.kt:259-266)
     assert "http://www.example.com/a/B%3A" in got
     assert got["http://other.org/x"]["host"] == "other.org"
+
+
+def test_urlseen_stream_dedups_across_batches(spark, tmp_path):
+    """Streaming URL-seen: repeats across micro-batches are dropped
+    while the key is inside the watermark horizon; batch twin agrees."""
+    from krawler_spark.streaming.rollup import urlseen_stream
+
+    inp = tmp_path / "seen_in"
+    inp.mkdir()
+    rows0 = [{"url": "http://a.com/1", "ts": "2024-01-01T00:00:00"},
+             {"url": "http://a.com/2", "ts": "2024-01-01T00:00:10"},
+             {"url": "http://a.com/1", "ts": "2024-01-01T00:00:20"}]
+    (inp / "b0.json").write_text("\n".join(json.dumps(r) for r in rows0))
+
+    src = (
+        spark.readStream.schema("url string, ts timestamp")
+        .option("maxFilesPerTrigger", "1").json(str(inp))
+    )
+    out = urlseen_stream(src, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("seen_t")
+        .option("checkpointLocation", str(tmp_path / "ck_seen"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: one repeat, one new url
+        rows1 = [{"url": "http://a.com/1", "ts": "2024-01-01T00:01:00"},
+                 {"url": "http://b.com/9", "ts": "2024-01-01T00:01:05"}]
+        (inp / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["url"] for r in spark.sql("SELECT url FROM seen_t").collect())
+    assert got == ["http://a.com/1", "http://a.com/2", "http://b.com/9"]
+
+    # batch twin: same first-wins key semantics
+    batch = spark.createDataFrame(
+        [(r["url"],) for r in rows0 + rows1], "url string"
+    )
+    bt = sorted(r["url"] for r in urlseen_stream(batch).select("url").collect())
+    assert bt == ["http://a.com/1", "http://a.com/2", "http://b.com/9"]
