@@ -82,7 +82,10 @@ _DELTA_EXTRA = [
     ("lang", "string"),
     ("detail", "string"),
     ("redirect_history", _REDIR_HIST_T),
-    ("headers", "map<string,string>"),
+    # content-length of the fetched body; read_visited synthesizes the
+    # KrawlDocument header map from it (a long writes ~free across the
+    # multi-million-row children branch where a map column would not)
+    ("clen", "long"),
 ]
 
 
@@ -508,7 +511,12 @@ class CrawlEngine:
         # Optional corpus `status` column (real response codes; absent →
         # every hit synthesizes 200 like the offline-fetch default).
         has_status = "status" in self.pages.columns
-        page_cols = [F.col("url").alias("_eff"), "html", "text", "lang"] + (
+        # _clen is computed at the corpus scan, where html is being read
+        # anyway: the visited branch's response headers need the byte
+        # length but must NOT re-decode the cached html column (the
+        # in-memory cache prunes columns; only the harvest pays for html)
+        page_cols = [F.col("url").alias("_eff"), "html",
+                     F.length(F.col("html")).alias("_clen"), "text", "lang"] + (
             [F.col("status").alias("_pstatus")] if has_status else []
         )
         fetched = adm2.join(self.pages.select(*page_cols), "_eff", "left")
@@ -617,10 +625,7 @@ class CrawlEngine:
             # (KrawlDocument.kt:51-61). The offline fetch synthesizes the
             # canonical pair a static server would send; a live connector
             # would substitute the real (lower-cased) response map here.
-            headers=F.create_map(
-                F.lit("content-type"), F.lit("text/html; charset=utf-8"),
-                F.lit("content-length"), F.length(F.col("html")).cast("string"),
-            ),
+            clen=F.col("_clen").cast("long"),
         ).repartition(spark.sparkContext.defaultParallelism)
 
         # --- history-consumed noop branches ------------------------------------

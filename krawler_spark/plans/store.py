@@ -203,7 +203,18 @@ class SnapshotStore:
             "url", "host", "depth", "root_page_id", "parent_url",
             F.col("r").cast("int").alias("fetch_round"),
             "host_seq", "action", "status", "text", "lang", "redirect_history",
-            "headers",
+            # KrawlDocument's lower-cased response headers
+            # (KrawlDocument.kt:51-61): synthesized here from the stored
+            # content length — the offline-fetch pair a static server
+            # would send. A live connector would store its real
+            # (lower-cased) response map in the delta instead.
+            F.when(
+                F.col("clen").isNotNull(),
+                F.create_map(
+                    F.lit("content-type"), F.lit("text/html; charset=utf-8"),
+                    F.lit("content-length"), F.col("clen").cast("string"),
+                ),
+            ).alias("headers"),
         )
 
     def read_events(self, upto_round: int) -> Optional[DataFrame]:

@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # zstd over snappy (Iceberg's modern parquet default): the delta
+        # write and corpus scan are bandwidth-bound — fewer bytes on the
+        # bus trades cheap, core-scaling CPU for the one resource that
+        # does NOT scale with executor count on a shared host
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
