@@ -511,11 +511,14 @@ class CrawlEngine:
         # Optional corpus `status` column (real response codes; absent →
         # every hit synthesizes 200 like the offline-fetch default).
         has_status = "status" in self.pages.columns
-        # _clen is computed at the corpus scan, where html is being read
-        # anyway: the visited branch's response headers need the byte
-        # length but must NOT re-decode the cached html column (the
-        # in-memory cache prunes columns; only the harvest pays for html)
-        page_cols = [F.col("url").alias("_eff"), "html",
+        # html stays OUT of the round-chain frame: _clen (response
+        # headers) is reduced at the corpus scan, and the harvest branch
+        # re-joins the bucketed corpus for the payload. Materializing
+        # html into the persisted chain would push the round's biggest
+        # bytes through the block manager — a bandwidth-bound copy that
+        # does not scale with cores — while a second bucketed-scan
+        # decode in the harvest branch does.
+        page_cols = [F.col("url").alias("_eff"),
                      F.length(F.col("html")).alias("_clen"), "text", "lang"] + (
             [F.col("status").alias("_pstatus")] if has_status else []
         )
@@ -691,12 +694,14 @@ class CrawlEngine:
         # requested url as parent (and as the child_seq key).
         # Both actions harvest (Krawler.kt:409-415); a check's HEAD
         # response has no body (Requests.kt:137), so its harvest input is
-        # the empty document. Empty-body rows are filtered before the
-        # python stage — semantics identical, zero rows shipped.
-        harvest_src = ok.filter(F.col("_rstatus").isNull()).withColumn(
-            "html",
-            F.when(F.col("_visit"), F.col("html")).otherwise(F.lit(b"")),
-        ).filter(F.length("html") > 0).select(
+        # the empty document — empty bodies yield no links, so only the
+        # visit rows join the corpus for their payload (semantics
+        # identical, zero empty rows shipped to python).
+        harvest_src = ok.filter(F.col("_visit") & F.col("_rstatus").isNull()).select(
+            "url", "_eff", "depth", "root_page_id"
+        ).join(
+            self.pages.select(F.col("url").alias("_eff"), "html"), "_eff", "inner"
+        ).select(
             "url", "_eff", "html", "depth", "root_page_id"
         ).repartition(spark.sparkContext.defaultParallelism * 2)
         priority_expr = self.priority_expr
