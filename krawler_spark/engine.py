@@ -421,7 +421,10 @@ class CrawlEngine:
             new = new.withColumn(
                 "_path", F.expr("substring(url, length(host) + locate('://', url) + 3)")
             ).withColumn("robots_url", F.concat(hier, F.lit("/robots.txt")))
-            new = new.join(F.broadcast(self._robots_rules), "robots_url", "left")
+            # plain join: the parsed-rules frame grows with distinct
+            # hosts, so it is never unconditionally broadcast — AQE
+            # broadcasts the cached frame while it fits
+            new = new.join(self._robots_rules, "robots_url", "left")
             # RoboMinder.kt:55-68 as column algebra: "" ∈ rules → allow;
             # "/" ∈ rules → deny; else deny iff any rule equals a
             # "/"+segment of the query-stripped path. NULL rules (parse
@@ -500,8 +503,12 @@ class CrawlEngine:
             and cfg.follow_redirects
         )
         if fast_redirects:
+            # NOT broadcast: the redirect map is ~10-20% of fetches at
+            # Common-Crawl scale (see _redirects_resolved) — far too big
+            # for a driver collect + per-executor copy. A plain join lets
+            # AQE broadcast it only while it actually fits.
             resolved = self._redirects_resolved()
-            adm2 = admitted.join(F.broadcast(resolved), "url", "left").withColumn(
+            adm2 = admitted.join(resolved, "url", "left").withColumn(
                 "_eff", F.coalesce(F.col("final_url"), F.col("url"))
             ).drop("final_url")
         else:
@@ -511,28 +518,29 @@ class CrawlEngine:
         # Optional corpus `status` column (real response codes; absent →
         # every hit synthesizes 200 like the offline-fetch default).
         has_status = "status" in self.pages.columns
-        # html stays OUT of the round-chain frame: _clen (response
-        # headers) is reduced at the corpus scan, and the harvest branch
-        # re-joins the bucketed corpus for the payload. Materializing
-        # html into the persisted chain would push the round's biggest
-        # bytes through the block manager — a bandwidth-bound copy that
-        # does not scale with cores — while a second bucketed-scan
-        # decode in the harvest branch does.
-        page_cols = [F.col("url").alias("_eff"),
-                     F.length(F.col("html")).alias("_clen"), "text", "lang"] + (
+        # The corpus PAYLOAD stays entirely OUT of the round-chain frame:
+        # the fetch join reads only `url` (+ `status`) from the bucketed
+        # corpus — a hit is row *presence* (`_pg` marker), exactly the
+        # oracle's `pages.get(url) is not None`. text/lang/content-length
+        # are re-joined against the bucketed corpus at the visited write,
+        # and html at the harvest, each a column-pruned bucketed scan.
+        # Materializing payload bytes into the persisted chain pushed the
+        # round's biggest bytes through the block manager — a
+        # bandwidth-bound copy that does not scale with cores.
+        page_cols = [F.col("url").alias("_eff"), F.lit(True).alias("_pg")] + (
             [F.col("status").alias("_pstatus")] if has_status else []
         )
         fetched = adm2.join(self.pages.select(*page_cols), "_eff", "left")
         if not has_status:
             fetched = fetched.withColumn("_pstatus", F.lit(None).cast("int"))
         if slow_redirects:
+            # plain join — the redirect map grows with the corpus (never
+            # an unconditional broadcast; AQE handles the small case)
             fetched = fetched.join(
-                F.broadcast(
-                    self.redirects.select(
-                        "url",
-                        F.col("status").alias("_rstatus"),
-                        F.col("location").alias("_rloc"),
-                    )
+                self.redirects.select(
+                    "url",
+                    F.col("status").alias("_rstatus"),
+                    F.col("location").alias("_rloc"),
                 ),
                 "url",
                 "left",
@@ -541,9 +549,9 @@ class CrawlEngine:
             fetched = fetched.withColumn("_rstatus", F.lit(None).cast("int")).withColumn(
                 "_rloc", F.lit(None).cast("string")
             )
-        fetched = fetched.withColumn("_hit", F.col("text").isNotNull()).withColumn(
-            "_counting", F.col("_hit") & F.col("_rstatus").isNull()
-        )
+        fetched = fetched.withColumn("_hit", F.col("_pg").isNotNull()).drop(
+            "_pg"
+        ).withColumn("_counting", F.col("_hit") & F.col("_rstatus").isNull())
 
         # --- 7. totalPages budget: global-K cumulative cut over the DELTA ----
         # Only materialized when a budget is set (oracle-exact test mode);
@@ -611,9 +619,24 @@ class CrawlEngine:
         prev_host = self.store.read_snapshot("host_state", rnd - 1)
         visited = ok.withColumn("_hs", F.row_number().over(w_host_seq))
         if prev_host is not None:
+            # plain host-keyed join: per-host cumulative counts grow with
+            # distinct hosts (~10^8 at Common-Crawl scale) — never an
+            # unconditional broadcast; AQE broadcasts it while small
             visited = visited.join(
-                F.broadcast(prev_host.withColumnRenamed("fetched", "_prev")), "host", "left"
+                prev_host.withColumnRenamed("fetched", "_prev"), "host", "left"
             ).withColumn("_hs", F.col("_hs") + F.coalesce(F.col("_prev"), F.lit(0))).drop("_prev")
+        # Payload re-join (see the fetch join above): text/lang/headers
+        # come from a column-pruned scan of the bucketed corpus keyed by
+        # the chain-final url — only the narrow visited rows shuffle.
+        visited = visited.join(
+            self.pages.select(
+                F.col("url").alias("_eff"),
+                F.length(F.col("html")).alias("_clen"),
+                "text", "lang",
+            ),
+            "_eff",
+            "left",
+        )
         # De-skew the visited write: the host_seq window leaves the hot
         # host's whole payload (rows + text) in ONE task — round-robin it
         # before the write stage (north_rule: explicit skew mitigation).
