@@ -43,6 +43,7 @@ batches arrive as Arrow arrays and are mapped with pandas.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Optional
@@ -277,217 +278,49 @@ def canonical_form(url: str, parent_url: Optional[str] = None) -> str:
 # Guava's longest-match behavior for these entries.
 # ---------------------------------------------------------------------------
 
-# Vendored snapshot subset of the publicsuffix.org list (ICANN +
-# private sections), matching Guava InternetDomainName's longest-match
-# + wildcard semantics. APPROXIMATE by construction: the full list has
-# ~9k rules; this snapshot carries the high-traffic ones. At deployment
-# swap _PSL_EXACT/_PSL_WILDCARD for a load of the full static data file
-# — the matching logic below already implements the general rules.
-_PSL_MULTI = frozenset({
-    # uk / ie
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
-    "plc.uk", "sch.uk", "nhs.uk", "police.uk", "gov.ie",
-    # au / nz
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz", "geek.nz",
-    "gen.nz", "kiwi.nz", "maori.nz",
-    # jp (+ prefecture style handled by wildcards below where needed)
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp",
-    "lg.jp",
-    # americas
-    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
-    "eco.br", "mil.br",
-    "com.mx", "org.mx", "gob.mx", "net.mx", "edu.mx",
-    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar", "mil.ar",
-    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co", "nom.co",
-    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe",
-    "com.ve", "net.ve", "org.ve", "gob.ve",
-    "com.uy", "net.uy", "org.uy", "gub.uy", "edu.uy",
-    "com.ec", "net.ec", "org.ec", "gob.ec",
-    "com.bo", "net.bo", "org.bo", "gob.bo",
-    "com.py", "net.py", "org.py", "gov.py",
-    "com.gt", "com.sv", "com.ni", "com.pa", "com.do", "com.pr",
-    "co.cr", "go.cr", "ac.cr", "com.cu",
-    "gc.ca",
-    # asia
-    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ac.in", "edu.in",
-    "gov.in", "res.in", "mil.in", "nic.in",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
-    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
-    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw", "game.tw",
-    "co.kr", "or.kr", "go.kr", "ne.kr", "re.kr", "pe.kr", "ac.kr", "mil.kr",
-    "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr", "seoul.kr", "busan.kr",
-    "com.sg", "org.sg", "edu.sg", "net.sg", "gov.sg", "per.sg",
-    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my", "name.my",
-    "co.id", "or.id", "ac.id", "go.id", "web.id", "sch.id", "net.id",
-    "my.id", "biz.id",
-    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th", "mi.th",
-    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn", "ac.vn",
-    "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
-    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "ngo.ph", "mil.ph",
-    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk", "gok.pk", "gop.pk",
-    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
-    "com.np", "net.np", "org.np", "edu.np", "gov.np",
-    "com.lk", "org.lk", "edu.lk", "gov.lk",
-    "com.kh", "net.kh", "org.kh", "edu.kh", "gov.kh", "per.kh", "mil.kh",
-    "com.mm", "net.mm", "org.mm", "edu.mm", "gov.mm",
-    "ac.ir", "co.ir", "gov.ir", "net.ir", "org.ir",
-    "sch.ir", "id.ir",
-    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "sch.sa",
-    "com.ae", "net.ae", "org.ae", "ac.ae", "gov.ae", "mil.ae", "sch.ae",
-    "com.qa", "net.qa", "org.qa", "edu.qa", "gov.qa", "mil.qa",
-    "com.kw", "net.kw", "org.kw", "edu.kw", "gov.kw",
-    "com.om", "net.om", "org.om", "edu.om", "gov.om",
-    "com.bh", "com.jo", "net.jo", "org.jo", "edu.jo", "gov.jo", "mil.jo",
-    "com.lb", "net.lb", "org.lb", "edu.lb", "gov.lb",
-    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg", "eun.eg",
-    "co.il", "org.il", "net.il", "ac.il", "gov.il", "idf.il", "k12.il",
-    "muni.il",
-    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "mil.tr", "k12.tr",
-    "av.tr", "bbs.tr", "bel.tr", "biz.tr", "dr.tr", "gen.tr", "info.tr",
-    "name.tr", "pol.tr", "tel.tr", "tv.tr", "web.tr",
-    "com.kz", "org.kz", "edu.kz", "gov.kz", "mil.kz", "net.kz",
-    "com.uz", "co.uz", "net.uz", "org.uz",
-    "com.ge", "net.ge", "org.ge", "edu.ge", "gov.ge", "mil.ge", "pvt.ge",
-    "com.am", "net.am", "org.am",
-    "com.az", "net.az", "org.az", "edu.az", "gov.az", "mil.az",
-    # africa
-    "co.za", "org.za", "web.za", "net.za", "ac.za", "gov.za", "edu.za",
-    "law.za", "mil.za", "nom.za", "school.za",
-    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "info.ke",
-    "me.ke", "mobi.ke",
-    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "name.ng", "sch.ng",
-    "i.ng", "mobi.ng",
-    "co.tz", "or.tz", "ac.tz", "go.tz", "ne.tz", "sc.tz", "mil.tz",
-    "co.ug", "or.ug", "ac.ug", "go.ug", "ne.ug", "sc.ug",
-    "com.gh", "edu.gh", "gov.gh", "org.gh", "mil.gh",
-    "co.zw", "org.zw", "gov.zw", "ac.zw", "mil.zw",
-    "co.zm", "org.zm", "gov.zm", "ac.zm", "sch.zm",
-    "co.mz", "org.mz", "gov.mz", "ac.mz", "edu.mz",
-    "co.bw", "org.bw",
-    "com.na", "org.na", "co.na",
-    "co.ao", "ed.ao", "gv.ao", "og.ao", "pb.ao", "it.ao",
-    "com.et", "gov.et", "org.et", "edu.et", "net.et", "biz.et", "name.et",
-    "info.et",
-    "co.ma", "net.ma", "org.ma", "ac.ma", "gov.ma", "press.ma",
-    "com.tn", "net.tn", "org.tn", "gov.tn", "ens.tn", "fin.tn", "nat.tn",
-    "com.dz", "net.dz", "org.dz", "edu.dz", "gov.dz", "pol.dz", "art.dz",
-    "com.ly", "net.ly", "org.ly", "edu.ly", "gov.ly", "plc.ly", "sch.ly",
-    "id.ly", "med.ly",
-    # europe
-    "co.at", "or.at", "ac.at", "gv.at", "priv.at",
-    "com.de", "com.se",
-    "co.hu", "org.hu", "info.hu", "priv.hu", "sport.hu", "tm.hu",
-    "2000.hu", "bolt.hu", "city.hu", "film.hu", "news.hu", "shop.hu",
-    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl", "waw.pl",
-    "warszawa.pl", "krakow.pl", "poznan.pl", "wroclaw.pl", "gda.pl",
-    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro", "rec.ro",
-    "arts.ro", "firm.ro", "store.ro", "www.ro",
-    "com.ru", "net.ru", "org.ru", "pp.ru", "int.ru", "ac.ru", "edu.ru",
-    "gov.ru", "mil.ru", "msk.ru", "spb.ru",
-    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua", "kiev.ua",
-    "kyiv.ua", "lviv.ua", "odessa.ua", "kharkov.ua", "dp.ua", "pp.ua",
-    "com.by", "net.by", "org.by", "gov.by", "mil.by", "of.by",
-    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
-    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "int.pt", "publ.pt",
-    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
-    "co.it", "edu.it", "gov.it",
-    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
-    "avocat.fr", "aeroport.fr",
-    "co.nl", "com.nl", "net.nl",
-    "ac.be", "co.no", "priv.no",
-    "com.ch", "net.ch", "org.ch", "gov.ch",
-    "co.dk", "biz.dk",
-    "com.mt", "net.mt", "org.mt", "edu.mt", "gov.mt",
-    "com.cy", "net.cy", "org.cy", "ac.cy", "gov.cy", "biz.cy", "pro.cy",
-    "name.cy", "press.cy", "tm.cy",
-    "com.mk", "org.mk", "net.mk", "edu.mk", "gov.mk", "inf.mk", "name.mk",
-    "com.al", "net.al", "org.al", "edu.al", "gov.al", "mil.al",
-    "co.rs", "org.rs", "edu.rs", "in.rs", "gov.rs", "ac.rs",
-    "com.ba", "net.ba", "org.ba", "edu.ba", "gov.ba", "mil.ba",
-    "com.hr", "from.hr", "iz.hr", "name.hr",
-    "co.me", "net.me", "org.me", "edu.me", "gov.me", "ac.me", "its.me",
-    "priv.me",
-    "co.si",
-    "com.lv", "net.lv", "org.lv", "edu.lv", "gov.lv", "mil.lv", "id.lv",
-    "asn.lv", "conf.lv",
-    "com.lt", "co.lt",
-    "com.ee", "pri.ee", "fie.ee", "med.ee",
-    "co.im", "com.im", "net.im", "org.im", "ac.im", "gov.im",
-    "co.gg", "net.gg", "org.gg", "co.je", "net.je", "org.je",
-    "com.mc", "tm.mc", "asso.mc",
-    "co.gl", "com.gl", "net.gl", "org.gl", "edu.gl",
-    "com.is", "net.is", "org.is", "edu.is", "gov.is", "int.is",
-    "com.fo", "com.ax",
-    # oceania / misc
-    "com.fj", "net.fj", "org.fj", "ac.fj", "gov.fj", "mil.fj",
-    "com.pg", "net.pg", "org.pg", "ac.pg", "gov.pg", "mil.pg",
-    "com.sb", "net.sb", "org.sb", "edu.sb", "gov.sb",
-    "com.vu", "net.vu", "org.vu", "edu.vu",
-    "co.ck", "net.ck", "org.ck", "edu.ck", "gov.ck",
-    "com.ws", "net.ws", "org.ws", "edu.ws", "gov.ws",
-    "co.fk", "org.fk", "gov.fk", "ac.fk", "nom.fk", "net.fk",
-    # private-section (Guava includes these in publicSuffix())
-    "github.io", "githubusercontent.com", "gitlab.io", "bitbucket.io",
-    "blogspot.com", "blogspot.co.uk", "blogspot.de", "blogspot.fr",
-    "blogspot.in", "blogspot.jp", "blogspot.kr", "blogspot.mx",
-    "blogspot.com.br", "blogspot.com.au", "blogspot.ca", "blogspot.ch",
-    "wordpress.com", "tumblr.com", "weebly.com", "wixsite.com",
-    "herokuapp.com", "appspot.com", "netlify.app", "vercel.app",
-    "pages.dev", "web.app", "firebaseapp.com", "azurewebsites.net",
-    "cloudapp.net", "cloudfront.net", "elasticbeanstalk.com",
-    "s3.amazonaws.com", "fastlylb.net",
-    "fly.dev", "onrender.com", "surge.sh",
-    "repl.co", "glitch.me", "neocities.org", "readthedocs.io",
-    "streamlit.app", "hf.space", "ngrok.io", "loca.lt", "workers.dev",
-    "pythonanywhere.com", "koyeb.app", "deno.dev", "supabase.co",
-    "cloudfunctions.net", "linodeusercontent.com",
-    "duckdns.org", "no-ip.org", "dyndns.org", "hopto.org", "zapto.org",
-})
-_PSL_SINGLE = frozenset({
-    # gTLDs / sponsored
-    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz", "name",
-    "pro", "museum", "aero", "coop", "jobs", "travel", "cat", "tel", "post",
-    "asia", "mobi", "xxx", "arpa",
-    # new gTLDs (high-traffic)
-    "io", "co", "ai", "app", "dev", "me", "tv", "cc", "xyz", "site",
-    "online", "store", "shop", "blog", "cloud", "club", "design", "digital",
-    "email", "fun", "games", "global", "guru", "host", "icu", "ink", "lat",
-    "life", "link", "live", "ltd", "media", "network", "news", "ninja",
-    "one", "page", "party", "pics", "pink", "plus", "press", "pw", "red",
-    "rocks", "run", "sale", "sbs", "services", "social", "software",
-    "solutions", "space", "studio", "tech", "today", "tools", "top",
-    "vip", "website", "wiki", "work", "world", "ws", "zone", "bot", "fyi",
-    "gg", "gl", "im", "je", "sh", "so", "st", "su", "to", "vc",
-    # ccTLDs
-    "ac", "ad", "ae", "af", "ag", "al", "am", "ao", "ar", "as", "at", "au",
-    "aw", "ax", "az", "ba", "bb", "be", "bf", "bg", "bh", "bi", "bj", "bm",
-    "bn", "bo", "br", "bs", "bt", "bw", "by", "bz", "ca", "cd", "cf", "cg",
-    "ch", "ci", "cl", "cm", "cn", "cr", "cu", "cv", "cw", "cx", "cy", "cz",
-    "de", "dj", "dk", "dm", "do", "dz", "ec", "ee", "eg", "es", "et", "eu",
-    "fi", "fm", "fo", "fr", "ga", "gd", "ge", "gf", "gh", "gi", "gm", "gn",
-    "gp", "gq", "gr", "gs", "gt", "gw", "gy", "hk", "hn", "hr", "ht", "hu",
-    "id", "ie", "il", "in", "iq", "ir", "is", "it", "jo", "jp", "ke", "kg",
-    "ki", "km", "kn", "kp", "kr", "kw", "ky", "kz", "la", "lb", "lc", "li",
-    "lk", "lr", "ls", "lt", "lu", "lv", "ly", "ma", "mc", "md", "mg", "mk",
-    "ml", "mn", "mo", "mq", "mr", "ms", "mt", "mu", "mv", "mw", "mx", "my",
-    "mz", "na", "nc", "ne", "nf", "ng", "ni", "nl", "no", "nr", "nu", "nz",
-    "om", "pa", "pe", "pf", "ph", "pk", "pl", "pm", "pn", "pr", "ps", "pt",
-    "py", "qa", "re", "ro", "rs", "ru", "rw", "sa", "sb", "sc", "sd", "se",
-    "sg", "si", "sk", "sl", "sm", "sn", "sr", "ss", "sv", "sx", "sy", "sz",
-    "tc", "td", "tf", "tg", "th", "tj", "tk", "tl", "tm", "tn", "tr", "tt",
-    "tw", "tz", "ua", "ug", "uk", "us", "uy", "uz", "va", "ve", "vg", "vi",
-    "vn", "vu", "wf", "ye", "yt", "za", "zm", "zw",
-})
-# wildcard rules (*.tld): any single extra label under these is a suffix
-_PSL_WILDCARD = frozenset({"bd", "ck", "er", "fj", "fk", "jm", "kh", "mm",
-                           "np", "pg", "ye"})
-# exception rules (!host): carved out of a wildcard's coverage
-_PSL_EXCEPTIONS = frozenset({"www.ck"})
+# Full publicsuffix.org data file, vendored verbatim (MPL-2.0) from the
+# public artifact at https://publicsuffix.org/list/public_suffix_list.dat
+# (same list Guava's InternetDomainName compiles into PublicSuffixPatterns,
+# KrawlUrl.kt:300-310). Parsed once per interpreter into exact / wildcard /
+# exception rule sets; IDN rules additionally get their punycode twins so
+# both unicode and xn-- hosts match.
+_PSL_DATA = os.path.join(os.path.dirname(__file__), "data",
+                         "public_suffix_list.dat")
 
-_PSL_EXACT = frozenset(
-    s for s in (_PSL_MULTI | _PSL_SINGLE) if isinstance(s, str)
-)
+
+def _load_psl(path: str = _PSL_DATA):
+    exact, wildcard, exceptions = set(), set(), set()
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rule = line.split()[0].lower()
+            if rule.startswith("!"):
+                exceptions.add(rule[1:])
+            elif rule.startswith("*."):
+                wildcard.add(rule[2:])
+            elif rule != "*":
+                exact.add(rule)
+
+    def _puny(s: str):
+        try:
+            p = ".".join(
+                lbl.encode("idna").decode("ascii") for lbl in s.split(".") if lbl
+            )
+            return p if p != s else None
+        except UnicodeError:
+            return None
+
+    for bucket in (exact, wildcard, exceptions):
+        for rule in [r for r in bucket if not r.isascii()]:
+            p = _puny(rule)
+            if p:
+                bucket.add(p)
+    return frozenset(exact), frozenset(wildcard), frozenset(exceptions)
+
+
+_PSL_EXACT, _PSL_WILDCARD, _PSL_EXCEPTIONS = _load_psl()
 
 
 def public_suffix(host: str) -> str:

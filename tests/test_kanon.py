@@ -199,3 +199,25 @@ def test_fast_child_canonical_covers_common_shapes():
     assert fast_child_canonical("http://x.com/a", page) is None  # colon → slow
     assert fast_child_canonical("//x.com/a", page) is None
     assert fast_child_canonical("a b", page) is None
+
+
+def test_full_psl_long_tail():
+    """The vendored file is the COMPLETE publicsuffix.org list: suffixes
+    absent from the old hand-rolled snapshot must now split like Guava's
+    InternetDomainName (KrawlUrl.kt:300-310)."""
+    from krawler_spark.functions.kanon import public_suffix, split_domain
+
+    # exact rules from the long tail (ICANN + private sections)
+    assert public_suffix("foo.example.com.sl") == "com.sl"
+    assert public_suffix("x.ac.mw") == "ac.mw"
+    assert public_suffix("b.cdn.prod.atlassian-dev.net") == "cdn.prod.atlassian-dev.net"
+    # IDN rule, both punycode and unicode spellings
+    assert public_suffix("example.xn--p1ai") == "xn--p1ai"
+    assert public_suffix("пример.рф") == "рф"
+    # multi-label wildcard rule (*.compute.amazonaws.com)
+    assert public_suffix("x.y.compute.amazonaws.com") == "y.compute.amazonaws.com"
+    # exception rule: !www.ck carves www.ck out of *.ck
+    assert public_suffix("shop.www.ck") == "ck"
+    assert split_domain("shop.www.ck") == ("ck", "www.ck", "shop")
+    # no-match host keeps the degraded reference behavior
+    assert public_suffix("localhost") == ""
