@@ -41,7 +41,9 @@ class CrawlConfig:
     deterministic_history_ids: bool = False
     # Bloom shards (O9 at scale): size bits to ~16× the expected URL
     # count for ~1e-4 FP with k=7 (FPs only cost an extra exact check —
-    # never correctness). 64 × 2^17 bits = 1 MiB of broadcast.
+    # never correctness). Shards are bucket-co-partitioned parquet read
+    # per-task via pyarrow (operators/bloom.py) — they never transit
+    # the driver and are not broadcast.
     bloom_buckets: int = 64
     bloom_bits_per_bucket: int = 1 << 17
     # Below this many history rows a plain JVM anti-join beats the
@@ -52,6 +54,12 @@ class CrawlConfig:
     use_bloom: bool = True
     frontier_partitions: int = 32       # hash(host) shards ≈ ScheduledQueue's 10 queues
     host_salt: int = 1                  # >1 = salted two-phase politeness rank (hot hosts)
+    # Attach the harvested link array (href/text/attrs/kind — the
+    # KrawlDocument.anchorTags + otherOutgoingLinks surface,
+    # KrawlDocument.kt:77-89) to every visited row. Off by default:
+    # it costs a second Arrow pass over the page HTML and widens the
+    # visited branch of the delta.
+    emit_links: bool = False
 
     @property
     def per_host_budget(self) -> int:

@@ -72,6 +72,11 @@ _POP_COLS = ["priority", "enq_round", "seq", "url"]
 
 # extra delta columns beyond the frontier fields (kind is the partition col)
 _REDIR_HIST_T = "array<struct<url:string,status:int>>"
+# KrawlDocument's link surface (anchorTags + otherOutgoingLinks,
+# KrawlDocument.kt:77-89), emitted on visited rows when
+# config.emit_links. Delta schema v2: v1 deltas lack the column; the
+# visited view degrades it to NULL on old rounds.
+_LINKS_T = schemas.LINKS_T
 _DELTA_EXTRA = [
     ("id", "long"),
     ("host_seq", "int"),
@@ -82,6 +87,7 @@ _DELTA_EXTRA = [
     ("lang", "string"),
     ("detail", "string"),
     ("redirect_history", _REDIR_HIST_T),
+    ("links", _LINKS_T),
     # content-length of the fetched body; read_visited synthesizes the
     # KrawlDocument header map from it (a long writes ~free across the
     # multi-million-row children branch where a map column would not)
@@ -303,30 +309,25 @@ class CrawlEngine:
                  0, priority, 0, zlib.crc32(pu.canonical.encode()))
             )
         df = self.spark.createDataFrame(rows, schemas.FRONTIER)
-        df.write.mode("append").parquet(os.path.join(self.store.path, "submissions"))
+        if not hasattr(self.store, "stage_submissions"):
+            raise NotImplementedError(
+                f"{type(self.store).__name__} does not support live "
+                "submissions (stage_submissions/drain_submissions)"
+            )
+        self.store.stage_submissions(df)
 
     def _drain_submissions(self, rnd: int) -> Optional[DataFrame]:
-        """Move staged submissions into this round's consumed dir (an
-        atomic per-file rename — no Spark job) and return them as a
-        frontier-shaped frame. Idempotent across a crash/resume of the
-        same round: the consumed dir is re-read, never re-consumed."""
-        sub_dir = os.path.join(self.store.path, "submissions")
-        consumed = os.path.join(self.store.path, f"submissions_r{rnd}_consumed")
-        if os.path.isdir(sub_dir):
-            staged_files = [f for f in os.listdir(sub_dir) if f.endswith(".parquet")]
-            if staged_files:
-                os.makedirs(consumed, exist_ok=True)
-                for f in staged_files:
-                    os.replace(os.path.join(sub_dir, f), os.path.join(consumed, f))
-        if not os.path.isdir(consumed) or not any(
-            f.endswith(".parquet") for f in os.listdir(consumed)
-        ):
+        """Consume staged submissions via the store (each store keeps
+        its own staging mechanism — atomic file renames for the
+        parquet-dir store, a consumed-round column for Iceberg) and
+        return them as a frontier-shaped frame. Idempotent across a
+        crash/resume of the same round."""
+        if not hasattr(self.store, "drain_submissions"):
             return None
-        return (
-            self.spark.read.parquet(consumed)
-            .withColumn("enq_round", F.lit(rnd))
-            .select(*_FF)
-        )
+        staged = self.store.drain_submissions(rnd)
+        if staged is None:
+            return None
+        return staged.withColumn("enq_round", F.lit(rnd)).select(*_FF)
 
     # ------------------------------------------------------------- round DAG
     def _run_round(self, rnd: int, frontier: DataFrame, state: dict) -> dict:
@@ -637,6 +638,42 @@ class CrawlEngine:
             "_eff",
             "left",
         )
+        # Optional link surface (KrawlDocument.kt:77-89): one extra
+        # Arrow pass over the body-bearing rows' HTML. NULL ⇔ no body
+        # was fetched (HEAD check / redirect hop); [] ⇔ a body with no
+        # links — mirroring the reference's empty anchorTags on HEAD.
+        link_col = F.lit(None).cast(_LINKS_T)
+        if cfg.emit_links:
+            links_src = ok.filter(
+                F.col("_visit") & F.col("_rstatus").isNull()
+            ).select("url", "_eff").join(
+                self.pages.select(F.col("url").alias("_eff"), "html"),
+                "_eff", "inner",
+            ).select("url", "html").repartition(
+                spark.sparkContext.defaultParallelism
+            )
+
+            def _page_links(batches: Iterator) -> Iterator:
+                import pandas as pd
+
+                for pdf in batches:
+                    urls, arrs = [], []
+                    for url, html in zip(pdf["url"], pdf["html"]):
+                        arrs.append([
+                            {"href": lk.href, "text": lk.text,
+                             "attrs": lk.attrs, "kind": lk.kind}
+                            for lk in extract_links(html)
+                        ])
+                        urls.append(url)
+                    yield pd.DataFrame({"url": urls, "links": arrs})
+
+            visited = visited.join(
+                links_src.mapInPandas(
+                    _page_links, schema=f"url string, links {_LINKS_T}"
+                ),
+                "url", "left",
+            )
+            link_col = F.col("links")
         # De-skew the visited write: the host_seq window leaves the hot
         # host's whole payload (rows + text) in ONE task — round-robin it
         # before the write stage (north_rule: explicit skew mitigation).
@@ -652,6 +689,7 @@ class CrawlEngine:
             # canonical pair a static server would send; a live connector
             # would substitute the real (lower-cased) response map here.
             clen=F.col("_clen").cast("long"),
+            links=link_col,
         ).repartition(spark.sparkContext.defaultParallelism)
 
         # --- history-consumed noop branches ------------------------------------

@@ -47,23 +47,152 @@ def sniff_media_type(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, deterministic_fake: bool = False):
-    """Decode stub. Real implementation needs PIL/libvips (absent here).
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
 
-    The deterministic fake is an md5 chain over the payload: pixels =
-    unhex(md5(p) || md5(md5(p)) || md5(md5(md5(p)))) — 48 bytes = a fake
-    4×4 RGB image. Chosen because the identical bytes are derivable in
-    ANSI SQL, giving the feature extractor an exact DuckDB oracle."""
+
+def _png_predictor(ft: int, x: int, cur, prev, bpp: int) -> int:
+    """The value a PNG filter adds back at byte x (spec §6: Sub, Up,
+    Average, Paeth)."""
+    a = int(cur[x - bpp]) if x >= bpp else 0
+    b = int(prev[x])
+    c = int(prev[x - bpp]) if x >= bpp else 0
+    if ft == 1:
+        return a
+    if ft == 2:
+        return b
+    if ft == 3:
+        return (a + b) >> 1
+    # Paeth
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes):
+    """Pure-stdlib PNG decoder: chunk walk → zlib inflate → per-scanline
+    unfilter (all five filter types). Supports the 8-bit non-interlaced
+    color types (gray / RGB / gray+alpha / RGBA) — the shapes a crawl
+    payload pipeline actually meets; others raise. Returns an
+    (h, w, channels) uint8 array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(payload)
+    if not b.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG byte stream")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos:pos + 4])
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit, color, _comp, _filt, interlace = ihdr
+    if bit != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit} color_type={color} interlace={interlace} "
+            "unsupported (8-bit non-interlaced gray/RGB/GA/RGBA only)"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rp = 0
+    for y in range(h):
+        ft = raw[rp]
+        cur = np.frombuffer(raw[rp + 1:rp + 1 + stride], dtype=np.uint8).copy()
+        rp += 1 + stride
+        if ft == 2:  # Up vectorizes (uint8 addition wraps mod 256)
+            cur = cur + prev
+        elif ft != 0:
+            if ft > 4:
+                raise ValueError(f"bad PNG filter type {ft}")
+            for x in range(stride):
+                cur[x] = (int(cur[x]) + _png_predictor(ft, x, cur, prev, ch)) & 0xFF
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG encoder for fixtures/tests: 8-bit, non-interlaced,
+    scanline filters cycling 0..4 so round-trip tests exercise every
+    unfilter path of ``decode_png``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        line = arr[y].reshape(-1)
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            raw.extend(line.tobytes())
+        else:
+            filt = bytearray(w * ch)
+            for x in range(w * ch):
+                filt[x] = (int(line[x]) - _png_predictor(ft, x, line, prev, ch)) & 0xFF
+            raw.extend(filt)
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes, deterministic_fake: bool = False):
+    """Image decode. PNG payloads decode NATIVELY via the pure-stdlib
+    ``decode_png`` (no PIL/libvips needed). Other formats (JPEG/GIF/...)
+    still need external codecs absent from this container and raise —
+    unless ``deterministic_fake=True``, which produces the md5-chain
+    fake: pixels = unhex(md5(p) || md5(md5(p)) || md5(md5(md5(p)))) —
+    48 bytes = a fake 4×4 RGB image, derivable in ANSI SQL so the
+    feature extractor keeps an exact DuckDB oracle for non-PNG inputs."""
+    data = bytes(payload or b"")
+    if data.startswith(PNG_MAGIC):
+        return decode_png(data)
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decode requires PIL/libvips — not available in this "
-            "environment; pass deterministic_fake=True for plumbing tests"
+            "non-PNG image decode requires PIL/libvips — not available in "
+            "this environment; pass deterministic_fake=True for plumbing "
+            "tests (PNG decodes natively)"
         )
     import hashlib
 
     import numpy as np
 
-    m1 = hashlib.md5(bytes(payload or b"")).hexdigest()
+    m1 = hashlib.md5(data).hexdigest()
     m2 = hashlib.md5(m1.encode()).hexdigest()
     m3 = hashlib.md5(m2.encode()).hexdigest()
     return np.frombuffer(bytes.fromhex(m1 + m2 + m3), dtype=np.uint8).reshape(4, 4, 3)

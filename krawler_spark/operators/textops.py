@@ -133,21 +133,39 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_expr=None,
+    minhash_k: int = 6,
 ) -> DataFrame:
-    """Exact n-gram Jaccard within blocking buckets. Default block key:
-    md5 of the first shingle (cheap prefix blocking — near-dups of web
-    text almost always share their opening shingle)."""
+    """Exact n-gram Jaccard within blocking buckets. Default blocking:
+    ``minhash_k`` single-row minhash bands (reusing
+    ``minhash_signatures``) — a pair with true Jaccard J collides in at
+    least one band w.p. 1-(1-J)^k (k=6, J=0.5 → 0.984), unlike the old
+    first-shingle prefix key which missed near-dups that differ in
+    their opening words. A custom ``block_expr`` column overrides it."""
     shingled = word_shingles(df, text_col, n).select(id_col, "shingles")
-    if block_expr is None:
-        block_expr = F.md5(F.element_at(F.col("shingles"), 1))
-    blocked = shingled.withColumn("blk", block_expr)
-    a = blocked.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), "blk")
-    b = blocked.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), "blk")
+    if block_expr is not None:
+        blocked = shingled.withColumn("blk", block_expr)
+        a = blocked.select(F.col(id_col).alias("id_a"), "blk")
+        b = blocked.select(F.col(id_col).alias("id_b"), "blk")
+        cand = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        sigs = minhash_signatures(df, text_col, id_col, k=minhash_k, n=n)
+        bands = sigs.select(
+            F.col(id_col),
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("mh"))
+                for i in range(minhash_k)
+            ])).alias("bb"),
+        ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.mh").alias("mh"))
+        a = bands.select(F.col(id_col).alias("id_a"), "band", "mh")
+        b = bands.select(F.col(id_col).alias("id_b"), "band", "mh")
+        cand = a.join(b, ["band", "mh"]).filter(F.col("id_a") < F.col("id_b"))
+    cand = cand.select("id_a", "id_b").distinct()
+    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(sh_a, "id_a").join(sh_b, "id_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -326,10 +344,14 @@ def quality_filter(
     """
     t = F.col(text_col)
     words = F.split(F.trim(t), r"\s+")
+    # Gopher mean word length: sum of word lengths / n_words — total
+    # non-whitespace chars over words, NOT length(text)/n_words (which
+    # counts separator whitespace and shifts the 3.0/10.0 thresholds)
+    word_chars = F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
     feats = df.select(
         F.col(id_col),
         F.size(words).alias("n_words"),
-        F.round(F.length(t) / F.size(words), 4).alias("avg_word_len"),
+        F.round(word_chars / F.size(words), 4).alias("avg_word_len"),
     )
     rep = repetition_scores(df, text_col=text_col, id_col=id_col).select(
         F.col(id_col), "top_bigram_frac"
@@ -547,12 +569,17 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: Optional[int] = None,
+    spread_partitions: Optional[int] = None,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer (every ``cell_stride``-th
     vector is a centroid — the deterministic stand-in for k-means
     centroids, which a real deployment would train offline and pass in)
     assigns each vector to its nearest centroid's cell; each query
     probes its ``nprobe`` nearest cells and ranks only those members.
+    Standard IVF semantics: every vector (centroids included) scores
+    against every centroid, so a centroid assigns to — and a centroid
+    query probes — its own cell (self cosine 1.0); only the FINAL
+    candidate ranking excludes the query itself.
 
     Scale (10^10 vectors): centroids are a small broadcast side — the
     assignment is one broadcast join + per-row argmax (groupBy vec_id
@@ -567,15 +594,15 @@ def ivf_ann(
     base = emb.select(F.col(id_col), vec_d.alias("v"))
     # The N×C scoring multiplies each input row C-fold; a source that
     # arrives in few partitions (one parquet file) would run it on few
-    # cores. Spread only in that case — at scale a well-partitioned
-    # corpus skips the shuffle entirely.
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
+    # cores. Callers with such inputs pass spread_partitions (no
+    # plan-build RDD conversion / driver action here); at scale a
+    # well-partitioned corpus skips the shuffle entirely.
+    if spread_partitions:
+        base = base.repartition(spread_partitions)
     cents = base.filter(F.col(id_col) % cell_stride == 0).select(
         F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
     )
-    scored = base.join(F.broadcast(cents), F.col(id_col) != F.col("cent_id"), "inner").select(
+    scored = base.crossJoin(F.broadcast(cents)).select(
         F.col(id_col), "v", "cent_id",
         F.round(cosine_dim(F.col("v"), F.col("cv"), dim), 4).alias("ccos"),
     )
@@ -583,14 +610,11 @@ def ivf_ann(
     # argmax (map-side combinable), not a corpus-wide window. The argmax
     # shuffles only narrow (id, ccos, cent_id) rows; the embedding
     # rejoins afterward so N×C vector copies never hit the wire.
+    # Centroids score 1.0 against themselves, so each lands in its own
+    # cell (no special-case union).
     assign = scored.select(id_col, "ccos", "cent_id").groupBy(id_col).agg(
         F.max(F.struct(F.col("ccos"), F.col("cent_id"))).alias("_m"),
     ).select(F.col(id_col), F.col("_m.cent_id").alias("cell")).join(base, id_col)
-    # centroids belong to their own cell
-    assign = assign.unionByName(
-        cents.select(F.col("cent_id").alias(id_col), F.col("cent_id").alias("cell"),
-                     F.col("cv").alias("v"))
-    )
     w_probe = Window.partitionBy(id_col).orderBy(
         F.col("ccos").desc(), F.col("cent_id").desc()
     )

@@ -78,7 +78,7 @@ class IcebergSnapshotStore:
             )
         self.spark = spark
         self.ns = f"{catalog}.{namespace}"
-        # path kept for API parity (submissions staging uses it)
+        # catalog-namespace identifier kept for API/debug parity only
         self.path = f"{self.ns}"
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.ns}")
         spark.sql(
@@ -153,6 +153,34 @@ class IcebergSnapshotStore:
         )
         return json.loads(row["state_json"]) if row else {}
 
+    # -- live submissions ---------------------------------------------------------
+    def stage_submissions(self, df: DataFrame) -> None:
+        """Append to an ordinary Iceberg table with a ``consumed_r``
+        column (NULL = staged). The append is an atomic snapshot, so
+        concurrent submitters never torn-write."""
+        out = df.withColumn("consumed_r", F.lit(None).cast("int"))
+        if not self._exists("submissions"):
+            out.writeTo(self._tbl("submissions")).using("iceberg").create()
+        else:
+            out.writeTo(self._tbl("submissions")).append()
+
+    def drain_submissions(self, round_no: int) -> Optional[DataFrame]:
+        """Claim all staged rows for this round (row-level UPDATE — an
+        Iceberg copy-on-write/merge-on-read commit), then read back the
+        claimed set. Idempotent across a crash/resume of the same
+        round: rows already claimed with this round_no are re-read,
+        never re-claimed by a later round."""
+        if not self._exists("submissions"):
+            return None
+        self.spark.sql(
+            f"UPDATE {self._tbl('submissions')} "
+            f"SET consumed_r = {int(round_no)} WHERE consumed_r IS NULL"
+        )
+        out = self.spark.table(self._tbl("submissions")).filter(
+            F.col("consumed_r") == int(round_no)
+        ).drop("consumed_r")
+        return out if out.limit(1).count() > 0 else None
+
     # -- unified-delta reads -----------------------------------------------------
     def delta_rounds(self) -> List[int]:
         if not self._exists("delta"):
@@ -202,12 +230,19 @@ class IcebergSnapshotStore:
         d = self.read_delta_all()
         if d is None:
             return None
+        from .. import schemas as _schemas
+
+        links = (
+            F.col("links") if "links" in d.columns
+            else F.lit(None).cast(_schemas.LINKS_T).alias("links")
+        )
         return d.filter(
             (F.col("r") <= upto_round) & (F.col("kind") == "visited")
         ).select(
             "url", "host", "depth", "root_page_id", "parent_url",
             F.col("r").cast("int").alias("fetch_round"),
             "host_seq", "action", "status", "text", "lang", "redirect_history",
+            links,
         )
 
     def read_events(self, upto_round: int) -> Optional[DataFrame]:

@@ -135,6 +135,32 @@ class SnapshotStore:
         with open(self._marker(round_no)) as f:
             return json.load(f)["state"]
 
+    # -- live submissions (Krawler.kt:205-214) ---------------------------------
+    def stage_submissions(self, df: DataFrame) -> None:
+        """Append frontier-shaped rows to the staging area; they enter
+        the crawl at the next round boundary (snapshot isolation
+        replaces the reference's concurrent queue insert)."""
+        df.write.mode("append").parquet(os.path.join(self.path, "submissions"))
+
+    def drain_submissions(self, round_no: int) -> Optional[DataFrame]:
+        """Move staged files into this round's consumed dir (atomic
+        per-file renames — no Spark job) and return them. Idempotent
+        across a crash/resume of the same round: the consumed dir is
+        re-read, never re-consumed."""
+        sub_dir = os.path.join(self.path, "submissions")
+        consumed = os.path.join(self.path, f"submissions_r{round_no}_consumed")
+        if os.path.isdir(sub_dir):
+            staged_files = [f for f in os.listdir(sub_dir) if f.endswith(".parquet")]
+            if staged_files:
+                os.makedirs(consumed, exist_ok=True)
+                for f in staged_files:
+                    os.replace(os.path.join(sub_dir, f), os.path.join(consumed, f))
+        if not os.path.isdir(consumed) or not any(
+            f.endswith(".parquet") for f in os.listdir(consumed)
+        ):
+            return None
+        return self.spark.read.parquet(consumed)
+
     # -- unified-delta reads ------------------------------------------------------
     def delta_rounds(self) -> List[int]:
         root = self._delta_root()
@@ -197,12 +223,20 @@ class SnapshotStore:
         d = self.read_delta_all()
         if d is None:
             return None
+        from .. import schemas as _schemas
+
+        # delta schema v1 (pre-links) degrades to a NULL links column
+        links = (
+            F.col("links") if "links" in d.columns
+            else F.lit(None).cast(_schemas.LINKS_T).alias("links")
+        )
         return d.filter(
             (F.col("r") <= upto_round) & (F.col("kind") == "visited")
         ).select(
             "url", "host", "depth", "root_page_id", "parent_url",
             F.col("r").cast("int").alias("fetch_round"),
             "host_seq", "action", "status", "text", "lang", "redirect_history",
+            links,
             # KrawlDocument's lower-cased response headers
             # (KrawlDocument.kt:51-61): synthesized here from the stored
             # content length — the offline-fetch pair a static server

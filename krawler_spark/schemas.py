@@ -26,6 +26,11 @@ PAGES = StructType([
     StructField("lang", StringType(), True),
 ])
 
+# KrawlDocument's harvested-link surface (anchorTags +
+# otherOutgoingLinks, KrawlDocument.kt:77-89) as a DDL string — shared
+# by the engine's delta writer and the store's visited view.
+LINKS_T = "array<struct<href:string,text:string,attrs:map<string,string>,kind:string>>"
+
 # Frontier — the priority queue (KrawlQueue/Model.kt:24-36, Dao.kt:65-66).
 # `enq_round` + `seq` replace the reference's TIMESTAMP column with a
 # deterministic total order; `host` is materialized because it is the

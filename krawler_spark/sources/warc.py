@@ -106,7 +106,14 @@ def parse_warc(data: bytes) -> Iterator[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            break
+            # damaged/absent Content-Length: resync to the next record
+            # marker (same CC-style tolerance as the non-WARC-prefix
+            # branch) instead of discarding the whole archive tail
+            nxt = data.find(b"\r\nWARC/", head_end)
+            if nxt == -1:
+                break
+            pos = nxt + 2
+            continue
         body_start = head_end + 4
         body = data[body_start:body_start + length]
         pos = body_start + length

@@ -147,12 +147,24 @@ def urlseen_stream(
     stream bounds state, the snapshot store holds the full history.
 
     Expects CANONICAL urls (the engine canonicalizes at harvest; the
-    seen key must match the batch path's key). Dedup shuffles on the
-    64-bit key, not the string. Batch frames get the plan-equivalent
-    ``dropDuplicates`` so one definition serves both twins."""
+    seen key must match the batch path's key). The dedup key is the URL
+    STRING itself — exactly the batch engine's anti-join key, so a
+    64-bit hash collision can never drop a never-seen URL (at 10^9-10^10
+    URLs collisions are expected; O9 promises no false negatives).
+    ``url_key`` (xxhash64) rides along as a shuffle/partition hint only.
+    The batch twin keeps the FIRST occurrence by ``ts`` (min_by), the
+    same row the in-order stream admits — not an arbitrary survivor."""
     keyed = urls.withColumn("url_key", F.xxhash64(F.col(url_col)))
     if urls.isStreaming:
         return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            ["url_key"]
+            [url_col]
         )
-    return keyed.dropDuplicates(["url_key"])
+    if ts_col not in keyed.columns:
+        # no event time → only the key set is defined; arbitrary survivor
+        return keyed.dropDuplicates([url_col])
+    others = [c for c in keyed.columns if c != url_col]
+    return (
+        keyed.groupBy(url_col)
+        .agg(*[F.min_by(c, ts_col).alias(c) for c in others])
+        .select(*keyed.columns)
+    )

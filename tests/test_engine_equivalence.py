@@ -271,3 +271,32 @@ def test_clear_history_frees_urls(spark, warehouse):
     assert removed > 0
     after = eng.history().count()
     assert after == before - removed
+
+
+def test_emit_links_surface(spark, warehouse):
+    """config.emit_links attaches KrawlDocument's link surface
+    (anchorTags + otherOutgoingLinks, KrawlDocument.kt:77-89) to
+    visited rows: href/text/attrs/kind equal to extract_links over the
+    page html; NULL only where no body was fetched."""
+    from krawler_spark.functions.extract import extract_links
+
+    rows, pages_dict = _corpus()
+    cfg = CrawlConfig(max_depth=2, deterministic_history_ids=True,
+                      round_seconds=1.0, emit_links=True)
+    eng = _run_engine(spark, warehouse, rows, cfg)
+    vis = {r["url"]: r for r in eng.visited().collect()}
+    assert vis, "crawl produced no visited rows"
+    for url, r in vis.items():
+        assert r["links"] is not None, url  # every visit fetched a body
+        want = extract_links(pages_dict[url]["html"])
+        got = [(l["href"], l["text"], dict(l["attrs"] or {}), l["kind"])
+               for l in r["links"]]
+        assert got == [(l.href, l.text, dict(l.attrs or {}), l.kind)
+                       for l in want], url
+
+
+def test_links_off_by_default(spark, warehouse):
+    rows, _ = _corpus()
+    cfg = CrawlConfig(max_depth=1, round_seconds=1.0)
+    eng = _run_engine(spark, warehouse, rows, cfg)
+    assert all(r["links"] is None for r in eng.visited().collect())

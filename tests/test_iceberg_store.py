@@ -53,3 +53,31 @@ def test_iceberg_store_crawl_equivalence():
         assert vis == ovis
     finally:
         store.destroy()
+
+
+def test_iceberg_submissions_roundtrip():
+    """submit_urls staging on the Iceberg store: an append table with a
+    consumed-round column (VERDICT r2 wrong #3). Idempotent per round."""
+    from krawler_spark.plans.iceberg_store import iceberg_available
+
+    spark = _iceberg_spark()
+    if not iceberg_available(spark, "ks_ice"):
+        pytest.skip("no iceberg-spark-runtime on the classpath")
+
+    from krawler_spark.plans.iceberg_store import IcebergSnapshotStore
+    from krawler_spark import schemas
+
+    store = IcebergSnapshotStore(spark, "ks_ice", namespace="t_subs")
+    try:
+        assert store.drain_submissions(1) is None
+        rows = [("http://a.com/x", "a.com", 7, None, 0, 0, 0, 1)]
+        store.stage_submissions(spark.createDataFrame(rows, schemas.FRONTIER))
+        got = store.drain_submissions(3)
+        assert [r["url"] for r in got.collect()] == ["http://a.com/x"]
+        # crash/resume of the SAME round re-reads the claimed rows
+        again = store.drain_submissions(3)
+        assert [r["url"] for r in again.collect()] == ["http://a.com/x"]
+        # a later round never re-consumes them
+        assert store.drain_submissions(4) is None
+    finally:
+        store.destroy()

@@ -77,3 +77,16 @@ def test_warc_pages_drive_the_engine(spark, tmp_path):
     vis = {r["url"] for r in eng.visited().collect()}
     # seed + its harvested /p/1.html link
     assert vis == {u for u, *_ in RECS}
+
+
+def test_parse_warc_bad_content_length_resyncs():
+    """A record with a damaged Content-Length is skipped by resyncing to
+    the next WARC marker — the archive tail is NOT discarded."""
+    good = build_warc_bytes(RECS)
+    damaged = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://bad.example/x\r\n"
+        b"Content-Length: oops\r\n\r\ngarbage bytes"
+    )
+    recs = list(parse_warc(damaged + b"\r\n" + good))
+    assert [r["url"] for r in recs] == [u for u, *_ in RECS]
