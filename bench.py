@@ -87,10 +87,21 @@ def crawl_bench(spark, hosts: int, pages_per_host: int) -> dict:
                 .option("path", tbl_dir).saveAsTable(tbl)
             )
         elif not spark.catalog.tableExists(tbl):
-            raise RuntimeError("bucketed data exists but table metadata lost")
+            # the default session catalog is in-memory: a NEW process
+            # must re-register the existing bucketed files as an
+            # external bucketed table, or every fetch join silently
+            # pays a full corpus shuffle (the old fallback did exactly
+            # that — a ~100 TB-scale anti-pattern hidden in the bench)
+            spark.sql(
+                f"CREATE TABLE {tbl} (url STRING, warc_ts TIMESTAMP, "
+                "html BINARY, text STRING, lang STRING) USING parquet "
+                "CLUSTERED BY (url) SORTED BY (url) INTO 32 BUCKETS "
+                f"LOCATION '{tbl_dir}'"
+            )
         pages = spark.table(tbl)
+        pages.limit(1).count()  # validate metadata before committing to it
     except Exception:
-        # metastore unavailable/stale → plain parquet (correctness
+        # unrecoverable metadata problem → plain parquet (correctness
         # identical; the fetch join just pays the corpus shuffle)
         pages = spark.read.parquet(corpus_dir)
 

@@ -133,7 +133,7 @@ class CrawlEngine:
     def __init__(
         self,
         spark: SparkSession,
-        pages: DataFrame,
+        pages: Optional[DataFrame] = None,
         config: Optional[CrawlConfig] = None,
         store: Optional[SnapshotStore] = None,
         warehouse: Optional[str] = None,
@@ -141,7 +141,10 @@ class CrawlEngine:
         should_check: str = "false",
         priority_expr: str = "1",
         redirects: Optional[DataFrame] = None,
+        provider=None,
     ):
+        from .sources.providers import CorpusRequestProvider
+
         self.spark = spark
         self.config = config or CrawlConfig()
         if store is None:
@@ -154,41 +157,28 @@ class CrawlEngine:
         self.priority_expr = priority_expr
         self.redirects = redirects
 
-        # The corpus never changes across rounds. On a real cluster this
-        # is an Iceberg table bucketed by url so the per-round fetch join
-        # is a storage-partitioned join (no corpus re-shuffle).
-        self.pages = pages
+        # The fetch seam (http/Requests.kt:46-61 RequestProviderIf):
+        # a provider maintains the pages frame the round DAG joins
+        # against. The offline default wraps the static corpus — an
+        # Iceberg table bucketed by url on a real cluster, so the
+        # per-round fetch join is a storage-partitioned join (no corpus
+        # re-shuffle). A dynamic provider (sources/providers.py
+        # HttpRequestProvider) refills a fetch cache over the wire each
+        # round and the identical downstream plan applies.
+        if provider is None:
+            if pages is None:
+                raise ValueError("need pages or provider")
+            provider = CorpusRequestProvider(pages)
+        self.provider = provider
+        self.pages = provider.pages()
 
-        # Robots bodies are parsed ONCE per crawl (python, tiny input) into
-        # per-host disallow arrays with the user-agent already resolved
-        # (RoboMinder.kt:71). The per-round gate is then pure JVM column
-        # algebra over a broadcast join — no python stage in the hot path.
-        # rules NULL ⇔ parse error (⇒ allow-all); join miss ⇔ no robots.txt
-        # (⇒ allow-all).
-        ua = self.config.user_agent
-
-        def _parse_rules(batches: Iterator) -> Iterator:
-            import pandas as pd
-
-            from .functions.robots import RobotsParseError, parse_robots, rules_for_agent
-
-            for pdf in batches:
-                out = []
-                for u, body in zip(pdf["robots_url"], pdf["robots_body"]):
-                    try:
-                        rules = sorted(rules_for_agent(parse_robots(body), ua))
-                    except RobotsParseError:
-                        rules = None
-                    out.append((u, rules))
-                yield pd.DataFrame(out, columns=["robots_url", "rules"])
-
-        self._robots_rules = (
-            pages.filter(F.col("url").endswith("/robots.txt"))
-            .select(F.col("url").alias("robots_url"), F.col("text").alias("robots_body"))
-            .mapInPandas(_parse_rules, schema="robots_url string, rules array<string>")
-            .withColumn("has_robots", F.lit(True))
-            .cache()
-        )
+        # Robots bodies are parsed per-host into disallow arrays with
+        # the user-agent already resolved (RoboMinder.kt:71) — once per
+        # crawl for the static corpus (cached), per round for dynamic
+        # providers (the cache grows). The per-round gate is pure JVM
+        # column algebra over the join. rules NULL ⇔ parse error
+        # (⇒ allow-all); join miss ⇔ no robots.txt (⇒ allow-all).
+        self._robots_rules = provider.robots_rules(self.config.user_agent)
 
     # -------------------------------------------------------- redirect chains
     def _redirects_resolved(self, max_hops: int = 5) -> DataFrame:
@@ -349,6 +339,14 @@ class CrawlEngine:
         else:
             depth_cut = None
             live = frontier
+
+        # --- live-provider robots prefetch (dynamic providers only) --------
+        # The reference fetches robots.txt on demand BEFORE a request
+        # (RoboMinder.kt:46-53); the BSP twin prefetches robots for the
+        # round's hosts into the fetch cache so the gate below sees them.
+        if self.provider.dynamic and cfg.respect_robots_txt:
+            self.provider.refresh_robots(rnd, live.select("url"))
+            self._robots_rules = self.provider.robots_rules(cfg.user_agent)
 
         # --- 3 then 2: URL-seen BEFORE in-batch dedup -------------------------
         # In a steady-state round most frontier rows point at already-
@@ -516,6 +514,12 @@ class CrawlEngine:
             adm2 = admitted.withColumn("_eff", F.col("url")).withColumn(
                 "redirect_history", F.lit(None).cast(_REDIR_HIST_T)
             )
+        # Dynamic providers fill the fetch cache with this round's
+        # admitted (politeness-budgeted) URLs before the join; the
+        # downstream plan is identical to the offline-corpus path.
+        if self.provider.dynamic:
+            self.provider.refresh(rnd, adm2.select(F.col("_eff").alias("url")))
+            self.pages = self.provider.pages()
         # Optional corpus `status` column (real response codes; absent →
         # every hit synthesizes 200 like the offline-fetch default).
         has_status = "status" in self.pages.columns
