@@ -120,6 +120,10 @@ def crawl_bench(spark, hosts: int, pages_per_host: int) -> dict:
         bloom_buckets=64,
         bloom_bits_per_bucket=1 << 18,
         deterministic_history_ids=False,  # scale mode: no global-order stage
+        # scale mode: don't materialize frontier-sized repeat_visit hook
+        # payloads (onRepeatVisit is a no-op unless overridden; the
+        # fetched/deduped counts this bench reports are unaffected)
+        record_repeat_events=False,
     )
     wh = tempfile.mkdtemp(prefix="ks_bench_wh_")
     eng = CrawlEngine(spark, pages, config=cfg, warehouse=wh)

@@ -54,6 +54,14 @@ class CrawlConfig:
     use_bloom: bool = True
     frontier_partitions: int = 32       # hash(host) shards ≈ ScheduledQueue's 10 queues
     host_salt: int = 1                  # >1 = salted two-phase politeness rank (hot hosts)
+    # Materialize repeat_visit event rows (the onRepeatVisit hook's
+    # payload, Krawler.kt:168-172). Default ON for reference-semantics
+    # parity; a 10^10-URL frontier crawl turns this OFF — in steady
+    # state most frontier rows are repeats, so recording them writes a
+    # frontier-sized event partition every round for a hook that is an
+    # overridable no-op in the reference. fetched/deduped counts (the
+    # north-star metric) are unaffected either way.
+    record_repeat_events: bool = True
     # Attach the harvested link array (href/text/attrs/kind — the
     # KrawlDocument.anchorTags + otherOutgoingLinks surface,
     # KrawlDocument.kt:77-89) to every visited row. Off by default:

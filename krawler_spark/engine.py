@@ -180,6 +180,26 @@ class CrawlEngine:
         # (⇒ allow-all); join miss ⇔ no robots.txt (⇒ allow-all).
         self._robots_rules = provider.robots_rules(self.config.user_agent)
 
+    # ------------------------------------------------------- payload helpers
+    def _clen_frame(self) -> DataFrame:
+        """(url → content-length) decoded ONCE per crawl and persisted
+        as a narrow frame — every round's visited write needs clen for
+        the response-header synthesis, and re-deriving it would decode
+        the corpus's html column (the biggest bytes on the bus) once
+        per round. The cache is ~16 bytes/url; on a cluster this is a
+        materialized column of the corpus table (or, for a live
+        provider, the real content-length response header). Dynamic
+        providers skip the cache (their corpus grows every round)."""
+        if self.provider.dynamic:
+            return self.pages.select(
+                F.col("url").alias("_eff"), F.length("html").alias("_clen")
+            )
+        if getattr(self, "_clen_df", None) is None:
+            self._clen_df = self.pages.select(
+                F.col("url").alias("_eff"), F.length("html").alias("_clen")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        return self._clen_df
+
     # -------------------------------------------------------- redirect chains
     def _redirects_resolved(self, max_hops: int = 5) -> DataFrame:
         """Fast-strategy chain resolution (http/Requests.kt:63-78,
@@ -630,18 +650,15 @@ class CrawlEngine:
             visited = visited.join(
                 prev_host.withColumnRenamed("fetched", "_prev"), "host", "left"
             ).withColumn("_hs", F.col("_hs") + F.coalesce(F.col("_prev"), F.lit(0))).drop("_prev")
-        # Payload re-join (see the fetch join above): text/lang/headers
-        # come from a column-pruned scan of the bucketed corpus keyed by
-        # the chain-final url — only the narrow visited rows shuffle.
+        # Payload re-join (see the fetch join above): text/lang come
+        # from a column-pruned scan of the bucketed corpus keyed by the
+        # chain-final url (no html decode — clen is the once-per-crawl
+        # cached projection); only the narrow visited rows shuffle.
         visited = visited.join(
-            self.pages.select(
-                F.col("url").alias("_eff"),
-                F.length(F.col("html")).alias("_clen"),
-                "text", "lang",
-            ),
+            self.pages.select(F.col("url").alias("_eff"), "text", "lang"),
             "_eff",
             "left",
-        )
+        ).join(self._clen_frame(), "_eff", "left")
         # Optional link surface (KrawlDocument.kt:77-89): one extra
         # Arrow pass over the body-bearing rows' HTML. NULL ⇔ no body
         # was fetched (HEAD check / redirect hop); [] ⇔ a body with no
@@ -728,10 +745,18 @@ class CrawlEngine:
             hist_part = hist_part.withColumn("id", F.xxhash64("url"))
 
         # --- event-only branches -------------------------------------------------
-        rep = dup_events
-        if repeats is not None:
-            rep = rep.unionByName(repeats.select(*dup_events.columns))
-        ev_part = _to_delta(rep.select(*_FF), "repeat_visit")
+        # repeat_visit rows are frontier-sized in steady state; they are
+        # materialized only when the hook payload is wanted
+        # (config.record_repeat_events — see config.py).
+        if cfg.record_repeat_events:
+            rep = dup_events
+            if repeats is not None:
+                rep = rep.unionByName(repeats.select(*dup_events.columns))
+            ev_part = _to_delta(rep.select(*_FF), "repeat_visit")
+        else:
+            ev_part = _to_delta(
+                spark.createDataFrame([], schemas.FRONTIER), "repeat_visit"
+            ).limit(0)
         if depth_cut is not None:
             ev_part = ev_part.unionByName(_to_delta(depth_cut, "depth_cut"))
         if has_status:
@@ -983,6 +1008,9 @@ class CrawlEngine:
             ):
                 break
             state = self._run_round(rnd, frontier, state)
+        if getattr(self, "_clen_df", None) is not None:
+            self._clen_df.unpersist()
+            self._clen_df = None
         return {"rounds": rnd, "state": state}
 
     # ------------------------------------------------- O19/O20 maintenance ops

@@ -300,3 +300,26 @@ def test_links_off_by_default(spark, warehouse):
     cfg = CrawlConfig(max_depth=1, round_seconds=1.0)
     eng = _run_engine(spark, warehouse, rows, cfg)
     assert all(r["links"] is None for r in eng.visited().collect())
+
+
+def test_repeat_events_flag_off(spark, warehouse):
+    """record_repeat_events=False skips the frontier-sized repeat_visit
+    event partition but leaves visited/history (the north-star counts)
+    bit-identical."""
+    rows, pages_dict = _corpus()
+    base = dict(deterministic_history_ids=True, max_depth=3, round_seconds=1.0)
+    eng_off = _run_engine(spark, warehouse + "_off", rows,
+                          CrawlConfig(**base, record_repeat_events=False))
+    eng_on = _run_engine(spark, warehouse + "_on", rows, CrawlConfig(**base))
+    key = lambda e: sorted(
+        (r["url"], r["depth"], r["host_seq"], r["text"]) 
+        for r in e.visited().collect()
+    )
+    assert key(eng_off) == key(eng_on)
+    hist = lambda e: {r["url"]: r["id"] for r in e.history().collect()}
+    assert hist(eng_off) == hist(eng_on)
+    kinds_off = {r["kind"] for r in eng_off.events().collect()}
+    kinds_on = {r["kind"] for r in eng_on.events().collect()}
+    assert "repeat_visit" not in kinds_off
+    assert "repeat_visit" in kinds_on
+    assert kinds_off == kinds_on - {"repeat_visit"}
