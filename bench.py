@@ -160,7 +160,12 @@ def main() -> None:
     import __spark_entry__ as entry
     from krawler_spark.session import get_spark
 
-    spark = get_spark("krawler-bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    # Shuffle partitions sized for the DATA, identical at every core
+    # count (a real cluster sizes them to input volume and lets AQE
+    # coalesce): 8 partitions over a 34M-row dedup sort spill several
+    # GB per task and go superlinear with corpus size.
+    parts = int(os.environ.get("KS_BENCH_SHUFFLE_PARTITIONS", "64"))
+    spark = get_spark("krawler-bench", cores=cpus, shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
