@@ -274,6 +274,79 @@ def q_url_canonicalize(spark, sf_dir):
     return d.select(F.col("doc_id"), _canon(raw).alias("canonical"))
 
 
+# O3 golden long-tail sample. The EXPECTED values are hand-derived from
+# the publicsuffix.org algorithm plus the reference's split formula
+# (KrawlUrl.kt:308-310: suffix = Guava publicSuffix() or "";
+# domain = host.replace("."+suffix, "").split(".").last() + "." + suffix;
+# subdomain = host.replace("."+domain, "") — replace removes ALL
+# occurrences, quirks intact). The oracle embeds these literals, so the
+# contract checks the implementation against the SPEC, not against
+# itself. Rules covered: exact (com), multi-label (co.uk), wildcard
+# (*.ck, *.kawasaki.jp), exceptions (!www.ck, !city.kawasaki.jp), IDN
+# unicode + punycode twins (рф/xn--p1ai), private-section rules
+# (github.io, s3.amazonaws.com), unlisted TLDs (Guava: no public
+# suffix → ""), IPs and single labels.
+_DOMAIN_SPLIT_GOLDEN = [
+    ("www.example.com", "com", "example.com", "www"),
+    ("example.com", "com", "example.com", "example.com"),
+    ("deep.sub.example.co.uk", "co.uk", "example.co.uk", "deep.sub"),
+    ("foo.bar.ck", "bar.ck", "foo.bar.ck", "foo.bar.ck"),
+    ("www.ck", "ck", "www.ck", "www.ck"),
+    ("a.www.ck", "ck", "www.ck", "a"),
+    ("www.site.xn--p1ai", "xn--p1ai", "site.xn--p1ai", "www"),
+    ("пример.рф", "рф", "пример.рф", "пример.рф"),
+    ("myproj.github.io", "github.io", "myproj.github.io", "myproj.github.io"),
+    ("a.b.myproj.github.io", "github.io", "myproj.github.io", "a.b"),
+    ("host.internal", "", "hostinternal.", "host.internal"),
+    ("localhost", "", "localhost.", "localhost"),
+    ("192.168.0.1", "", "19216801.", "192.168.0.1"),
+    ("example.com.example.com", "com", "example.com", "example.com"),
+    ("city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp", "city.kawasaki.jp"),
+    ("sub.city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp", "sub"),
+    ("other.kawasaki.jp", "other.kawasaki.jp", "jp.other.kawasaki.jp",
+     "other.kawasaki.jp"),
+    ("s3.amazonaws.com", "s3.amazonaws.com", "com.s3.amazonaws.com",
+     "s3.amazonaws.com"),
+]
+
+
+def q_domain_split(spark, sf_dir):
+    """O3: public-suffix / registrable-domain / subdomain split
+    (KrawlUrl.kt:300-310) over the golden long-tail host sample, run
+    through the REAL splitter (functions/kanon.py: full vendored
+    publicsuffix.org list, wildcard/exception/IDN handling) in an
+    Arrow-batched stage — vs hand-derived VALUES."""
+    hosts = spark.createDataFrame(
+        [(h,) for h, *_ in _DOMAIN_SPLIT_GOLDEN], "host string"
+    )
+
+    def _split(batches):
+        from krawler_spark.functions.kanon import split_domain
+
+        for pdf in batches:
+            rows = []
+            for h in pdf["host"]:
+                s, d, sub = split_domain(h)
+                rows.append((h, s, d, sub))
+            yield pd.DataFrame(
+                rows, columns=["host", "suffix", "domain", "subdomain"]
+            )
+
+    return hosts.mapInPandas(
+        _split, schema="host string, suffix string, domain string, subdomain string"
+    )
+
+
+def _domain_split_oracle_sql() -> str:
+    values = ",\n".join(
+        "(" + ", ".join(_sql_lit(x) for x in r) + ")" for r in _DOMAIN_SPLIT_GOLDEN
+    )
+    return (
+        "SELECT host, suffix, domain, subdomain "
+        f"FROM (VALUES {values}) AS t(host, suffix, domain, subdomain)"
+    )
+
+
 # ----------------------------------------------------------- training-data ops
 def q_dedup_exact(spark, sf_dir):
     return T.exact_dedup(_docs(spark, sf_dir))
@@ -466,13 +539,15 @@ def _doc_page(doc_id: int, text, n_docs: int):
     return url, html
 
 
-def _corpus_from_documents(spark, sf_dir):
+def _corpus_from_documents(spark, sf_dir, limit_docs=None):
     """Synthesize a pages corpus FROM the driver's documents table:
     deterministic host/url per doc_id, html wrapping the doc text plus
     arithmetic out-links, text = engine extraction of that html."""
     from krawler_spark.schemas import PAGES
 
     d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    if limit_docs is not None:
+        d = d.filter(F.col("doc_id") < limit_docs)
     n_docs = d.count()
 
     def _gen(batches):
@@ -503,6 +578,18 @@ _BUDGET_VISIT_SQL = "url NOT LIKE '%7'"
 _BUDGET_VISIT_PY = (lambda u: not u.endswith("7"))
 _BUDGET_PRIO_SQL = "1 + pmod(parent_depth, 2)"
 _BUDGET_PRIO_PY = (lambda u, d: 1 + (d % 2))
+# Termination + live-refill variant (O7): depth-limited crawl over a
+# 30-doc sub-corpus drains its frontier (children past max_depth are
+# depth-cut, NOT history-inserted), then submit_urls refills the EMPTY
+# frontier and the resumed run crawls the submitted root fresh —
+# Krawler.kt:328-339 shutdown-on-empty + :205-214 live enqueue,
+# end-to-end through the real store's staging/drain protocol.
+_CRAWL_CFG_TERM = dict(max_depth=2, round_seconds=2.0, max_rounds=12,
+                       bloom_buckets=16, bloom_bits_per_bucket=1 << 17)
+_TERM_N_DOCS = 30
+_TERM_SEEDS = ["http://www.host-0.com/doc/0"]
+_TERM_SUBMITS = [("http://www.host-5.com/doc/5", 0)]
+
 # The driver's side-by-side correctness comparison always runs at this
 # scale factor (task contract), so the precomputed serial-oracle VALUES
 # table for crawl_visited is pinned to it.
@@ -529,6 +616,8 @@ def _serial_oracle(variant: str = "flagship", sf_dir: str = _ORACLE_SF_DIR):
     docs = duckdb.sql(
         f"SELECT doc_id, text, lang FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
     ).fetchall()
+    if variant == "termination":
+        docs = docs[:_TERM_N_DOCS]
     n_docs = len(docs)
     pages = {}
     for doc_id, text, lang in docs:
@@ -539,6 +628,15 @@ def _serial_oracle(variant: str = "flagship", sf_dir: str = _ORACLE_SF_DIR):
         res = crawl_oracle(
             _CRAWL_SEEDS, pages, CrawlConfig(**_CRAWL_CFG_BUDGET),
             should_visit=_BUDGET_VISIT_PY, assign_priority=_BUDGET_PRIO_PY,
+        )
+    elif variant == "termination":
+        cfg = CrawlConfig(**_CRAWL_CFG_TERM)
+        # phase 1 finds the drain round R (the round at which the
+        # frontier is empty); the submissions then land at R — exactly
+        # when the resumed engine drains its staged files
+        drained = crawl_oracle(_TERM_SEEDS, pages, cfg).rounds
+        res = crawl_oracle(
+            _TERM_SEEDS, pages, cfg, submissions={drained: _TERM_SUBMITS}
         )
     else:
         res = crawl_oracle(_CRAWL_SEEDS, pages, CrawlConfig(**_CRAWL_CFG))
@@ -693,6 +791,31 @@ def q_crawl_visited_budget(spark, sf_dir):
     )
 
 
+def q_crawl_termination(spark, sf_dir):
+    """O7 end-to-end through the driver contract: (1) a depth-limited
+    crawl runs until the frontier DRAINS (empty-queue termination,
+    Krawler.kt:328-339 — depth-cut rows are consumed without a history
+    insert, so nothing refills the queue); (2) ``submit_urls`` stages a
+    live enqueue (Krawler.kt:205-214) into the committed store; (3) a
+    resumed run drains the staged submission into the empty frontier
+    and keeps crawling. Visited set vs the serial oracle running the
+    same two-phase schedule via its ``submissions`` hook."""
+    from krawler_spark.config import CrawlConfig
+    from krawler_spark.engine import CrawlEngine
+
+    pages = _corpus_from_documents(spark, sf_dir, limit_docs=_TERM_N_DOCS)
+    eng = CrawlEngine(
+        spark, pages, config=CrawlConfig(**_CRAWL_CFG_TERM),
+        warehouse=tempfile.mkdtemp(prefix="ks_term_"),
+    )
+    eng.run(_TERM_SEEDS)  # phase 1: runs until the frontier drains
+    eng.submit_urls([u for u, _p in _TERM_SUBMITS], priority=_TERM_SUBMITS[0][1])
+    eng.run(resume=True)  # phase 2: staged submission refills the queue
+    return eng.visited().select(
+        "url", "host", "depth", "root_page_id", "fetch_round", "host_seq", "action"
+    )
+
+
 def q_history_clear(spark, sf_dir):
     """O20: clearHistory(beforeRound) (History/Dao.kt:72-78) through
     the real engine op — four committed history rounds, rounds < 2
@@ -736,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_requeue": q_redirect_requeue,
         "frontier_age_delete": q_frontier_age_delete,
         "url_canonicalize": q_url_canonicalize,
+        "domain_split": q_domain_split,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
@@ -760,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_visited": q_crawl_visited,
         "crawl_events": q_crawl_events,
         "crawl_visited_budget": q_crawl_visited_budget,
+        "crawl_termination": q_crawl_termination,
         "history_clear": q_history_clear,
         "warc_roundtrip": q_warc_roundtrip,
     }
@@ -919,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.host-' || (doc_id % 7) || '.com/Doc/' || doc_id
                      AS canonical
             FROM documents""",
+        "domain_split": _domain_split_oracle_sql(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
                    count(*) AS dup_count
@@ -1208,6 +1334,7 @@ def _maybe_crawl_oracle() -> dict[str, str]:
         ("crawl_visited", _crawl_visited_oracle_sql),
         ("crawl_events", _crawl_events_oracle_sql),
         ("crawl_visited_budget", lambda: _crawl_visited_oracle_sql("budget")),
+        ("crawl_termination", lambda: _crawl_visited_oracle_sql("termination")),
         ("warc_roundtrip", _warc_oracle_sql),
     ):
         try:

@@ -160,11 +160,23 @@ def main() -> None:
     import __spark_entry__ as entry
     from krawler_spark.session import get_spark
 
-    # Shuffle partitions sized for the DATA, identical at every core
-    # count (a real cluster sizes them to input volume and lets AQE
-    # coalesce): 8 partitions over a 34M-row dedup sort spill several
-    # GB per task and go superlinear with corpus size.
-    parts = int(os.environ.get("KS_BENCH_SHUFFLE_PARTITIONS", "64"))
+    # Shuffle partitions COMPUTED from data volume, identical at every
+    # core count (a real cluster sizes exchanges to input volume and
+    # lets AQE coalesce — r3's fixed 64 was the right diagnosis applied
+    # as the wrong constant: it fixed the 34M-row sort spills but cost
+    # ~15% at the 3.4M-row sf0.1 scale). The session default covers the
+    # micro-queries and the crawl's round 0 (frontier = corpus size);
+    # from round 1 on, the ENGINE re-sizes per round from the committed
+    # frontier_next count (CrawlConfig.shuffle_rows_per_partition).
+    hosts = int(os.environ.get("KS_BENCH_HOSTS", "64"))
+    pph = int(os.environ.get("KS_BENCH_PAGES_PER_HOST", "1200"))
+    rows_per_part = 500_000
+    parts = int(
+        os.environ.get(
+            "KS_BENCH_SHUFFLE_PARTITIONS",
+            max(cpus, min(4096, hosts * pph // rows_per_part)),
+        )
+    )
     spark = get_spark("krawler-bench", cores=cpus, shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -176,8 +188,6 @@ def main() -> None:
             _count(qs[name](spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
 
-    hosts = int(os.environ.get("KS_BENCH_HOSTS", "64"))
-    pph = int(os.environ.get("KS_BENCH_PAGES_PER_HOST", "1200"))
     crawl = crawl_bench(spark, hosts, pph)
     timings["crawl_round_loop"] = crawl["sec"]
 

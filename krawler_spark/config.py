@@ -62,6 +62,14 @@ class CrawlConfig:
     # overridable no-op in the reference. fetched/deduped counts (the
     # north-star metric) are unaffected either way.
     record_repeat_events: bool = True
+    # Per-round data-derived shuffle-partition sizing: before each round
+    # the engine sets spark.sql.shuffle.partitions to
+    # clamp(defaultParallelism, committed frontier_next / this, 4096) —
+    # a cluster sizes exchanges to input volume, not core count, and
+    # lets AQE coalesce. 0 disables (the session setting then applies
+    # to every round). Note the conf is session-level: it persists after
+    # the crawl.
+    shuffle_rows_per_partition: int = 500_000
     # Attach the harvested link array (href/text/attrs/kind — the
     # KrawlDocument.anchorTags + otherOutgoingLinks surface,
     # KrawlDocument.kt:77-89) to every visited row. Off by default:

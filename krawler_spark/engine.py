@@ -170,6 +170,14 @@ class CrawlEngine:
                 raise ValueError("need pages or provider")
             provider = CorpusRequestProvider(pages)
         self.provider = provider
+        # live providers follow redirect chains on the wire ONLY under
+        # the fast strategy; slow mode (and follow_redirects=False)
+        # captures the 3xx itself and lets the engine re-enqueue
+        if provider.dynamic and hasattr(provider, "follow_redirects"):
+            provider.follow_redirects = bool(
+                self.config.follow_redirects
+                and self.config.use_fast_redirect_strategy
+            )
         self.pages = provider.pages()
 
         # Robots bodies are parsed per-host into disallow arrays with
@@ -186,10 +194,14 @@ class CrawlEngine:
         as a narrow frame — every round's visited write needs clen for
         the response-header synthesis, and re-deriving it would decode
         the corpus's html column (the biggest bytes on the bus) once
-        per round. The cache is ~16 bytes/url; on a cluster this is a
-        materialized column of the corpus table (or, for a live
-        provider, the real content-length response header). Dynamic
+        per round. The cache is ~16 bytes/url; a cluster corpus table
+        (Iceberg) carries a materialized ``clen`` column instead — used
+        directly below whenever present, no decode at all. Dynamic
         providers skip the cache (their corpus grows every round)."""
+        if "clen" in self.pages.columns:
+            return self.pages.select(
+                F.col("url").alias("_eff"), F.col("clen").alias("_clen")
+            )
         if self.provider.dynamic:
             return self.pages.select(
                 F.col("url").alias("_eff"), F.length("html").alias("_clen")
@@ -351,6 +363,26 @@ class CrawlEngine:
         # politeness window by host — Catalyst inserts exactly those two
         # exchanges; a forced repartition would add a third for nothing.
 
+        # Data-derived shuffle partitions (north_rule: partitions sized
+        # to VOLUME, not core count): the previous round's committed
+        # frontier_next count is already in the commit state — size this
+        # round's exchanges so one sort partition holds roughly
+        # `shuffle_rows_per_partition` rows (8 partitions over a 34M-row
+        # dedup sort spill multi-GB per task and go superlinear; 64 over
+        # a 3M-row frontier pay pure scheduling overhead). AQE coalesces
+        # the small post-shuffle partitions either way.
+        if cfg.shuffle_rows_per_partition > 0:
+            est = state.get("frontier_next")
+            if est:
+                parts = min(
+                    4096,
+                    max(
+                        spark.sparkContext.defaultParallelism,
+                        int(est) // cfg.shuffle_rows_per_partition,
+                    ),
+                )
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+
         # --- 1. depth cut (consumed, no history insert) --------------------
         if cfg.max_depth != -1:
             depth_ok = F.col("depth") < F.lit(cfg.max_depth)
@@ -422,9 +454,19 @@ class CrawlEngine:
         # materializing pass (the fetched.count() below) computes the
         # heavy chain exactly once — branch tails replayed during the
         # write job are narrow ops over these caches.
+        # Chain frames are localCheckpoint'ed (lazily — they still
+        # materialize in the one chain pass below) rather than persisted:
+        # a checkpoint TRUNCATES the logical plan, so the ~8 delta
+        # branches that fan out over these frames each analyze a
+        # one-node scan instead of replaying the whole chain lineage —
+        # the per-round Catalyst/codegen cost was a measured piece of
+        # the scaling Amdahl constant. Local checkpoints die with an
+        # executor; a cluster deployment with task retries would use
+        # reliable checkpoint dirs (or accept round replay — the commit
+        # protocol makes rounds idempotent).
         w_url = Window.partitionBy("url").orderBy(*_pop_order())
-        ranked = unseen.withColumn("rn", F.row_number().over(w_url)).persist(
-            StorageLevel.MEMORY_AND_DISK
+        ranked = unseen.withColumn("rn", F.row_number().over(w_url)).localCheckpoint(
+            eager=False
         )
         new = ranked.filter(F.col("rn") == 1).drop("rn")
         dup_events = ranked.filter(F.col("rn") > 1).drop("rn")
@@ -484,8 +526,8 @@ class CrawlEngine:
             pre = fetchable.withColumn("_pr", F.row_number().over(w_salted)).filter(
                 F.col("_pr") <= budget
             ).drop("_pr")
-            ph = pre.withColumn("_ph", F.row_number().over(w_host)).persist(
-                StorageLevel.MEMORY_AND_DISK
+            ph = pre.withColumn("_ph", F.row_number().over(w_host)).localCheckpoint(
+                eager=False
             )
             admitted = ph.filter(F.col("_ph") <= budget).drop("_ph")
             deferred = (
@@ -494,8 +536,8 @@ class CrawlEngine:
                 .select(*_FF)
             )
         else:
-            ph = fetchable.withColumn("_ph", F.row_number().over(w_host)).persist(
-                StorageLevel.MEMORY_AND_DISK
+            ph = fetchable.withColumn("_ph", F.row_number().over(w_host)).localCheckpoint(
+                eager=False
             )
             admitted = ph.filter(F.col("_ph") <= budget).drop("_ph")
             deferred = (
@@ -503,6 +545,25 @@ class CrawlEngine:
                 .drop("_ph", "_visit", "_check")
                 .select(*_FF)
             )
+
+        # --- dynamic providers: fetch the admitted set over the wire ----------
+        # BEFORE redirect resolution, so hops discovered THIS round feed
+        # the chain resolution and the fetch join below. The provider
+        # follows chains itself (fast mode), caches final documents
+        # under the chain-final canonical url, and exposes the hops as
+        # the engine's redirects frame — live crawls populate
+        # redirect_history exactly like the corpus twin. The wire fetch
+        # is per-host paced inside the provider (Requests.kt:150-186).
+        if self.provider.dynamic:
+            self.provider.refresh(rnd, admitted.select("url"))
+            self.pages = self.provider.pages()
+            if hasattr(self.provider, "redirects"):
+                live_redirects = self.provider.redirects()
+                if live_redirects is not None:
+                    self.redirects = live_redirects
+                    if getattr(self, "_redirects_resolved_df", None) is not None:
+                        self._redirects_resolved_df.unpersist()
+                        self._redirects_resolved_df = None
 
         # --- 8. fetch = left join vs corpus -----------------------------------
         # Fast redirect mode (use_fast_redirect_strategy, the reference
@@ -534,12 +595,6 @@ class CrawlEngine:
             adm2 = admitted.withColumn("_eff", F.col("url")).withColumn(
                 "redirect_history", F.lit(None).cast(_REDIR_HIST_T)
             )
-        # Dynamic providers fill the fetch cache with this round's
-        # admitted (politeness-budgeted) URLs before the join; the
-        # downstream plan is identical to the offline-corpus path.
-        if self.provider.dynamic:
-            self.provider.refresh(rnd, adm2.select(F.col("_eff").alias("url")))
-            self.pages = self.provider.pages()
         # Optional corpus `status` column (real response codes; absent →
         # every hit synthesizes 200 like the offline-fetch default).
         has_status = "status" in self.pages.columns
@@ -634,7 +689,7 @@ class CrawlEngine:
         # → robots gate → politeness window → fetch join) exactly once
         # into the four chain caches before the write job's branches
         # fan out over them.
-        fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
+        fetched = fetched.localCheckpoint(eager=False)
         fetched.count()
         tm.tick("materialize round chain")
 
@@ -660,9 +715,11 @@ class CrawlEngine:
             "left",
         ).join(self._clen_frame(), "_eff", "left")
         # Optional link surface (KrawlDocument.kt:77-89): one extra
-        # Arrow pass over the body-bearing rows' HTML. NULL ⇔ no body
-        # was fetched (HEAD check / redirect hop); [] ⇔ a body with no
-        # links — mirroring the reference's empty anchorTags on HEAD.
+        # Arrow pass over the body-bearing rows' HTML. KrawlDocument
+        # always exposes LISTS — a body-less response (HEAD check,
+        # redirect hop) yields empty anchorTags/otherOutgoingLinks, so
+        # emit_links rows coalesce the join miss to [] for exact
+        # surface parity; links is NULL only when emit_links is off.
         link_col = F.lit(None).cast(_LINKS_T)
         if cfg.emit_links:
             links_src = ok.filter(
@@ -694,7 +751,9 @@ class CrawlEngine:
                 ),
                 "url", "left",
             )
-            link_col = F.col("links")
+            link_col = F.coalesce(
+                F.col("links"), F.from_json(F.lit("[]"), _LINKS_T)
+            )
         # De-skew the visited write: the host_seq window leaves the hot
         # host's whole payload (rows + text) in ONE task — round-robin it
         # before the write stage (north_rule: explicit skew mitigation).
@@ -714,10 +773,19 @@ class CrawlEngine:
         ).repartition(spark.sparkContext.defaultParallelism)
 
         # --- history-consumed noop branches ------------------------------------
-        ferr_b = _to_delta(
-            fetched.filter(~F.col("_hit")), "fetch_error",
-            detail=F.lit("no corpus row"),
-        )
+        # fetch-error detail is provider-aware: the offline corpus miss
+        # keeps the oracle's "no corpus row"; a live provider's recorded
+        # failure reason (connection error / redirect loop) supersedes it.
+        ferr_src = fetched.filter(~F.col("_hit"))
+        miss_detail = F.lit(getattr(self.provider, "miss_detail", "no corpus row"))
+        if self.provider.dynamic and hasattr(self.provider, "fetch_errors"):
+            fe = self.provider.fetch_errors()
+            if fe is not None:
+                ferr_src = ferr_src.join(
+                    fe.withColumnRenamed("detail", "_err_detail"), "url", "left"
+                )
+                miss_detail = F.coalesce(F.col("_err_detail"), miss_detail)
+        ferr_b = _to_delta(ferr_src, "fetch_error", detail=miss_detail)
         filt_b = _to_delta(filtered_out, "filtered")
         hist_part = vis_b.unionByName(ferr_b).unionByName(filt_b)
         if denied is not None:
@@ -882,36 +950,53 @@ class CrawlEngine:
         )
 
         # --- THE round write: one job materializes the whole DAG ---------------
-        delta = hist_part.unionByName(ev_part).unionByName(frontier_part)
+        # Round counters ride the write job itself (Observation metrics
+        # computed while rows stream to parquet) — the old separate
+        # count-aggregation job over the written delta is gone.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"round_{rnd}")
+        is_hist = F.col("kind").isin(*HIST_KINDS).cast("long")
+        is_frontier = F.col("kind").isin("child", "deferred").cast("long")
+        is_vis = (F.col("kind") == "visited").cast("long")
+        delta = hist_part.unionByName(ev_part).unionByName(frontier_part).observe(
+            obs,
+            F.sum(is_vis).alias("visited"),
+            F.sum(F.when(F.col("kind") == "visited",
+                         F.col("counting").cast("long")).otherwise(0)).alias("counted"),
+            F.sum(is_hist).alias("hist"),
+            F.sum(is_frontier).alias("frontier"),
+        )
         self.store.write_delta(rnd, delta)
+        got = obs.get
+        visited_ct = int(got["visited"] or 0)
+        counted_now = int(got["counted"] or 0)
+        hist_ct = int(got["hist"] or 0)
+        frontier_ct = int(got["frontier"] or 0)
         tm.tick("round delta write (single job)")
 
         # --- follow-ups over the written delta (partition-pruned, tiny) --------
+        # host_state and the bloom merge are independent writes over
+        # disjoint delta partitions — submit them CONCURRENTLY (Spark's
+        # scheduler interleaves jobs from separate driver threads), so
+        # the round pays max() of the two flat job costs, not the sum.
         d = self.store.read_delta_round(rnd)
-        agg = {
-            r["kind"]: (int(r["n"]), int(r["c"] or 0))
-            for r in d.groupBy("kind").agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("counting").cast("long")).alias("c"),
-            ).collect()
-        }
-        visited_ct = agg.get("visited", (0, 0))[0]
-        counted_now = agg.get("visited", (0, 0))[1]
-        hist_ct = sum(agg.get(k, (0, 0))[0] for k in HIST_KINDS)
-        frontier_ct = agg.get("child", (0, 0))[0] + agg.get("deferred", (0, 0))[0]
 
-        host_counts = (
-            d.filter(F.col("kind") == "visited")
-            .groupBy("host").agg(F.count(F.lit(1)).alias("fetched"))
-        )
-        if prev_host is not None:
+        def _host_state_job() -> None:
             host_counts = (
-                host_counts.unionByName(prev_host)
-                .groupBy("host").agg(F.sum("fetched").alias("fetched"))
+                d.filter(F.col("kind") == "visited")
+                .groupBy("host").agg(F.count(F.lit(1)).alias("fetched"))
             )
-        self.store.write_table("host_state", rnd, host_counts)
+            if prev_host is not None:
+                host_counts2 = (
+                    host_counts.unionByName(prev_host)
+                    .groupBy("host").agg(F.sum("fetched").alias("fetched"))
+                )
+            else:
+                host_counts2 = host_counts
+            self.store.write_table("host_state", rnd, host_counts2)
 
-        if cfg.use_bloom:
+        def _bloom_job() -> None:
             old = self.store.read_snapshot("bloom", rnd - 1)
             delta_shards = bloom_ops.build_delta(
                 d.filter(F.col("kind").isin(*HIST_KINDS)).select("url"),
@@ -920,7 +1005,17 @@ class CrawlEngine:
             self.store.write_table(
                 "bloom", rnd, bloom_ops.merge_shards(old, delta_shards)
             )
-        tm.tick("follow-ups (counts, host_state, bloom merge)")
+
+        jobs = [_host_state_job] + ([_bloom_job] if cfg.use_bloom else [])
+        if len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(len(jobs)) as pool:
+                for fut in [pool.submit(j) for j in jobs]:
+                    fut.result()
+        else:
+            jobs[0]()
+        tm.tick("follow-ups (host_state ∥ bloom merge)")
 
         metrics_rows = [
             (rnd, "visited", int(visited_ct)),
@@ -940,11 +1035,11 @@ class CrawlEngine:
         self.store.commit_round(rnd, new_state)
         tm.tick("metrics + commit")
 
-        fetched.unpersist()
+        # ranked/ph/fetched are local checkpoints: their blocks are
+        # reclaimed by the ContextCleaner once the frames go out of
+        # scope at round end (persist handles below are explicit).
         if precut_fetched is not None and precut_fetched is not fetched:
             precut_fetched.unpersist()
-        ph.unpersist()
-        ranked.unpersist()
         if probed is not None:
             probed.unpersist()
         for h in extra_persists:

@@ -94,11 +94,17 @@ def crawl_oracle(
     should_check: Callable[[str], bool] = lambda u: False,
     assign_priority: Callable[[str, int], int] = lambda u, d: 1,
     redirects: Optional[Dict[str, Tuple[int, str]]] = None,
+    submissions: Optional[Dict[int, List[Tuple[str, int]]]] = None,
 ) -> OracleResult:
     """pages: canonical url → {"html":..., "text":..., "lang":...};
-    redirects: url → (status, location)."""
+    redirects: url → (status, location); submissions: round →
+    [(url, priority)] live-enqueued at that round's boundary — the
+    serial twin of ``CrawlEngine.submit_urls`` + ``_drain_submissions``
+    (Krawler.kt:205-214): root/seq are crc32-derived, depth 0, and a
+    submission can refill an otherwise-drained frontier (O7)."""
     res = OracleResult()
     redirects = redirects or {}
+    submissions = submissions or {}
 
     frontier: List[dict] = []
     for order, s in enumerate(seeds):  # O1: priority 0, depth 0
@@ -126,6 +132,13 @@ def crawl_oracle(
     K = lambda e: (e["priority"], e["enq_round"], e["seq"], e["url"])
 
     for rnd in range(config.max_rounds):
+        for u, pr in submissions.get(rnd, []):
+            pu = parse_url(u)
+            crc = zlib.crc32(pu.canonical.encode())
+            frontier.append(
+                dict(url=pu.canonical, host=pu.host, root=crc % (1 << 31),
+                     parent=None, depth=0, priority=pr, enq_round=rnd, seq=crc)
+            )
         if not frontier or exhausted:
             break
         res.rounds = rnd + 1

@@ -160,9 +160,15 @@ class IcebergSnapshotStore:
         concurrent submitters never torn-write."""
         out = df.withColumn("consumed_r", F.lit(None).cast("int"))
         if not self._exists("submissions"):
-            out.writeTo(self._tbl("submissions")).using("iceberg").create()
-        else:
-            out.writeTo(self._tbl("submissions")).append()
+            try:
+                out.writeTo(self._tbl("submissions")).using("iceberg").create()
+                return
+            except Exception:
+                # two first-time submitters raced on create(): the loser
+                # falls through to an ordinary append — both snapshots
+                # land (Iceberg appends are atomic)
+                pass
+        out.writeTo(self._tbl("submissions")).append()
 
     def drain_submissions(self, round_no: int) -> Optional[DataFrame]:
         """Claim all staged rows for this round (row-level UPDATE — an

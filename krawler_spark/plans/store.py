@@ -155,6 +155,12 @@ class SnapshotStore:
                 os.makedirs(consumed, exist_ok=True)
                 for f in staged_files:
                     os.replace(os.path.join(sub_dir, f), os.path.join(consumed, f))
+                # writer sidecars (_SUCCESS markers, .crc files) would
+                # otherwise accumulate in submissions/ forever
+                for f in os.listdir(sub_dir):
+                    p = os.path.join(sub_dir, f)
+                    if os.path.isfile(p) and not f.endswith(".parquet"):
+                        os.remove(p)
         if not os.path.isdir(consumed) or not any(
             f.endswith(".parquet") for f in os.listdir(consumed)
         ):

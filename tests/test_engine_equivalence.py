@@ -277,7 +277,8 @@ def test_emit_links_surface(spark, warehouse):
     """config.emit_links attaches KrawlDocument's link surface
     (anchorTags + otherOutgoingLinks, KrawlDocument.kt:77-89) to
     visited rows: href/text/attrs/kind equal to extract_links over the
-    page html; NULL only where no body was fetched."""
+    page html. KrawlDocument always exposes lists, so body-less rows
+    get [] — links is NULL only when emit_links is off."""
     from krawler_spark.functions.extract import extract_links
 
     rows, pages_dict = _corpus()

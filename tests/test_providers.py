@@ -126,3 +126,258 @@ def test_http_provider_404_is_fetch_error_like(spark, tmp_path, corpus_server):
     assert vis["http://www.site-0.com/nope.html"]["status"] == 404
     events = {(r["url"], r["kind"]) for r in eng.events().collect()}
     assert ("http://www.site-0.com/nope.html", "unexpected_status") in events
+
+
+# --------------------------------------------------------------------------
+# Live-wire semantics: per-host pacing (the RequestsTest.kt:56-72 timing
+# law), redirect capture (HistoryTrackingRedirectStrategy parity), retry
+# + provider-aware error detail, robots TTL (RoboMinder.kt:39-42).
+# Location headers are emitted in LOGICAL (public) url space, as a real
+# server behind a rewrite/LB would do.
+import time
+
+
+@pytest.fixture()
+def wire_server():
+    state = {"robots_version": 1, "flaky_hits": 0}
+    log = []  # (logical_path, monotonic time)
+    lock = threading.Lock()
+
+    page = b"<html><body><p>hello world</p></body></html>"
+    final_page = b"<html><body><p>you made it</p></body></html>"
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _send(self, code, body=b"", location=None, ctype="text/html"):
+            self.send_response(code)
+            if location:
+                self.send_header("Location", location)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            with lock:
+                log.append((self.path, time.monotonic()))
+            p = self.path
+            if p.endswith("/robots.txt"):
+                if "www.robots-ttl.com" in p:
+                    body = (
+                        b"User-agent: *\nDisallow: /old\n"
+                        if state["robots_version"] == 1
+                        else b"User-agent: *\nDisallow: /new\n"
+                    )
+                    self._send(200, body, ctype="text/plain")
+                else:
+                    self._send(404, b"")
+                return
+            if p == "/www.redir.com/hop1":
+                self._send(302, b"", location="http://www.redir.com/hop2")
+                return
+            if p == "/www.redir.com/hop2":
+                self._send(301, b"", location="http://www.target.com/final")
+                return
+            if p == "/www.target.com/final":
+                self._send(200, final_page)
+                return
+            if p == "/www.loop.com/a":
+                self._send(302, b"", location="http://www.loop.com/b")
+                return
+            if p == "/www.loop.com/b":
+                self._send(302, b"", location="http://www.loop.com/a")
+                return
+            if p == "/www.flaky.com/page":
+                with lock:
+                    state["flaky_hits"] += 1
+                    n = state["flaky_hits"]
+                if n == 1:
+                    # transient failure: drop the connection mid-request
+                    self.close_connection = True
+                    self.connection.close()
+                    return
+                self._send(200, page)
+                return
+            if p.startswith("/www.paced-") or p.startswith("/www.plain"):
+                self._send(200, page)
+                return
+            self._send(404, b"")
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield state, log, srv.server_address[1]
+    srv.shutdown()
+
+
+def _wire_provider(spark, tmp_path, port, **kw):
+    from krawler_spark.sources.providers import HttpRequestProvider
+
+    kw.setdefault("timeout_s", 5.0)
+    return HttpRequestProvider(
+        spark, cache_dir=str(tmp_path / "wire_cache"),
+        base_rewrite={"http://": f"http://127.0.0.1:{port}/"},
+        **kw,
+    )
+
+
+def test_politeness_timing_law(spark, tmp_path, wire_server):
+    """RequestsTest.kt:56-72: N requests to one host span at least
+    politenessDelay x (N-1) -- enforced on the wire, not just via the
+    admission budget."""
+    _state, log, port = wire_server
+    delay_ms = 200
+    provider = _wire_provider(
+        spark, tmp_path, port, politeness_delay_ms=delay_ms, fetch_partitions=4
+    )
+    urls = [f"http://www.paced-a.com/p{i}" for i in range(5)] + [
+        f"http://www.paced-b.com/p{i}" for i in range(3)
+    ]
+    log.clear()
+    provider.refresh(0, spark.createDataFrame([(u,) for u in urls], "url string"))
+    by_host = {}
+    for path, t in log:
+        host = path.split("/")[1]
+        by_host.setdefault(host, []).append(t)
+    a = sorted(by_host["www.paced-a.com"])
+    assert len(a) == 5
+    # the timing law: total span >= delay x (N-1), with scheduling slack
+    assert a[-1] - a[0] >= (delay_ms / 1000.0) * (len(a) - 1) * 0.85
+    # and consecutive same-host requests are individually spaced
+    gaps = [b2 - b1 for b1, b2 in zip(a, a[1:])]
+    assert min(gaps) >= (delay_ms / 1000.0) * 0.75
+    # different hosts interleave: host B finished well before a serial
+    # (A then B) schedule would allow
+    b = sorted(by_host["www.paced-b.com"])
+    assert b[0] < a[-1]
+
+
+def test_redirect_capture_fast_strategy(spark, tmp_path, wire_server):
+    """Fast strategy: the wire worker follows the chain, every hop lands
+    in the provider's redirects table, and the engine's visited row gets
+    the full redirect_history + the final document -- the
+    HistoryTrackingRedirectStrategy surface (Requests.kt:63-78)."""
+    _state, _log, port = wire_server
+    provider = _wire_provider(spark, tmp_path, port)
+    eng = CrawlEngine(
+        spark, config=CrawlConfig(max_depth=1, round_seconds=1.0, max_rounds=2),
+        provider=provider, warehouse=str(tmp_path / "wh_fast_redir"),
+    )
+    eng.run(["http://www.redir.com/hop1"])
+    vis = {r["url"]: r.asDict() for r in eng.visited().collect()}
+    row = vis["http://www.redir.com/hop1"]
+    assert row["status"] == 200
+    assert "you made it" in row["text"]
+    hist = [(h["url"], h["status"]) for h in (row["redirect_history"] or [])]
+    assert hist == [
+        ("http://www.redir.com/hop1", 302),
+        ("http://www.redir.com/hop2", 301),
+    ]
+    red = {(r["url"], r["status"], r["location"])
+           for r in provider.redirects().collect()}
+    assert ("http://www.redir.com/hop1", 302, "http://www.redir.com/hop2") in red
+    assert ("http://www.redir.com/hop2", 301, "http://www.target.com/final") in red
+
+
+def test_redirect_slow_strategy_requeues(spark, tmp_path, wire_server):
+    """Slow strategy (use_fast_redirect_strategy=False): the 3xx itself
+    is the visited row and the Location is re-enqueued at the SAME depth
+    (Krawler.kt:446-457)."""
+    _state, _log, port = wire_server
+    provider = _wire_provider(spark, tmp_path, port)
+    eng = CrawlEngine(
+        spark,
+        config=CrawlConfig(
+            max_depth=2, round_seconds=1.0, max_rounds=4,
+            use_fast_redirect_strategy=False,
+        ),
+        provider=provider, warehouse=str(tmp_path / "wh_slow_redir"),
+    )
+    eng.run(["http://www.redir.com/hop1"])
+    vis = {r["url"]: r.asDict() for r in eng.visited().collect()}
+    assert vis["http://www.redir.com/hop1"]["status"] == 302
+    assert vis["http://www.redir.com/hop2"]["status"] == 301
+    assert vis["http://www.target.com/final"]["status"] == 200
+    # slow-mode requeue keeps the parent's depth
+    assert vis["http://www.target.com/final"]["depth"] == \
+        vis["http://www.redir.com/hop1"]["depth"]
+    assert "you made it" in vis["http://www.target.com/final"]["text"]
+
+
+def test_redirect_loop_is_an_error_row(spark, tmp_path, wire_server):
+    _state, _log, port = wire_server
+    provider = _wire_provider(spark, tmp_path, port, max_redirect_hops=4)
+    provider.refresh(
+        0, spark.createDataFrame([("http://www.loop.com/a",)], "url string")
+    )
+    errs = {r["url"]: r["detail"] for r in provider.fetch_errors().collect()}
+    assert errs.get("http://www.loop.com/a") == "redirect loop"
+
+
+def test_retry_recovers_transient_failure(spark, tmp_path, wire_server):
+    state, _log, port = wire_server
+    provider = _wire_provider(spark, tmp_path, port, retries=2)
+    provider.refresh(
+        0, spark.createDataFrame([("http://www.flaky.com/page",)], "url string")
+    )
+    rows = {r["url"]: r for r in provider.pages().collect()}
+    assert rows["http://www.flaky.com/page"]["status"] == 200
+    assert state["flaky_hits"] >= 2
+    assert provider.fetch_errors() is None or \
+        provider.fetch_errors().filter("url LIKE '%flaky%'").count() == 0
+
+
+def test_connection_error_detail_reaches_engine(spark, tmp_path):
+    """A host that refuses connections yields an explicit error row and
+    the engine's fetch_error event carries the provider detail, not the
+    offline 'no corpus row'."""
+    import socket
+
+    # grab a port with nothing listening on it
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    dead_port = s.getsockname()[1]
+    s.close()
+
+    provider = _wire_provider(
+        spark, tmp_path, dead_port, retries=1, retry_backoff_s=0.05, timeout_s=1.0
+    )
+    eng = CrawlEngine(
+        spark, config=CrawlConfig(max_depth=1, round_seconds=1.0, max_rounds=1),
+        provider=provider, warehouse=str(tmp_path / "wh_dead"),
+    )
+    eng.run(["http://www.dead.com/x"])
+    ev = [r.asDict() for r in eng.events().collect() if r["kind"] == "fetch_error"]
+    assert len(ev) == 1
+    assert ev[0]["url"] == "http://www.dead.com/x"
+    assert ev[0]["detail"] == "connection error"
+
+
+def test_robots_ttl_refetches(spark, tmp_path, wire_server):
+    """robots_ttl_rounds: a host's robots.txt is re-fetched once it is
+    TTL rounds old (RoboMinder.kt:39-42 expiry), and the cache serves
+    latest-wins so rules actually change mid-crawl."""
+    state, log, port = wire_server
+    provider = _wire_provider(spark, tmp_path, port, robots_ttl_rounds=2)
+    urls = spark.createDataFrame(
+        [("http://www.robots-ttl.com/old",)], "url string"
+    )
+
+    def rules():
+        rows = provider.robots_rules("krawler-spark").collect()
+        return {r["robots_url"]: r["rules"] for r in rows}
+
+    provider.refresh_robots(0, urls)
+    assert rules()["http://www.robots-ttl.com/robots.txt"] == ["/old"]
+    state["robots_version"] = 2
+    provider.refresh_robots(1, urls)  # 1 round old: within TTL, no refetch
+    assert rules()["http://www.robots-ttl.com/robots.txt"] == ["/old"]
+    provider.refresh_robots(2, urls)  # 2 rounds old: expired -> refetch
+    assert rules()["http://www.robots-ttl.com/robots.txt"] == ["/new"]
+    # latest-wins: the pages view serves exactly one row per url
+    n = provider.pages().filter("url = 'http://www.robots-ttl.com/robots.txt'")
+    assert n.count() == 1
