@@ -71,42 +71,37 @@ def _png_predictor(ft: int, x: int, cur, prev, bpp: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes):
-    """Pure-stdlib PNG decoder: chunk walk → zlib inflate → per-scanline
-    unfilter (all five filter types). Supports the 8-bit non-interlaced
-    color types (gray / RGB / gray+alpha / RGBA) — the shapes a crawl
-    payload pipeline actually meets; others raise. Returns an
-    (h, w, channels) uint8 array."""
+def _walk_chunks(b: bytes):
+    """Yield (type, data) for every chunk of a PNG byte stream."""
     import struct
-    import zlib
 
-    import numpy as np
-
-    b = bytes(payload)
-    if not b.startswith(PNG_MAGIC):
-        raise ValueError("not a PNG byte stream")
-    pos, idat, ihdr = 8, bytearray(), None
+    pos = 8
     while pos + 8 <= len(b):
         (ln,) = struct.unpack(">I", b[pos:pos + 4])
         typ = b[pos + 4:pos + 8]
         data = b[pos + 8:pos + 8 + ln]
         pos += 12 + ln  # length + type + data + crc
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif typ == b"IDAT":
-            idat.extend(data)
-        elif typ == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
+        yield typ, data
+        if typ == b"IEND":
+            return
+
+
+def _check_ihdr(ihdr):
+    """Validate an unpacked IHDR; returns (w, h, channels)."""
     w, h, bit, color, _comp, _filt, interlace = ihdr
     if bit != 8 or interlace != 0 or color not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"PNG bit_depth={bit} color_type={color} interlace={interlace} "
             "unsupported (8-bit non-interlaced gray/RGB/GA/RGBA only)"
         )
-    ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    return w, h, _PNG_CHANNELS[color]
+
+
+def _unfilter(raw: bytes, w: int, h: int, ch: int):
+    """Per-scanline unfilter (PNG spec §6, all five filter types) of an
+    inflated image stream → (h, w, ch) uint8 array."""
+    import numpy as np
+
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline data length mismatch")
@@ -129,20 +124,36 @@ def decode_png(payload: bytes):
     return out.reshape(h, w, ch)
 
 
-def encode_png(arr) -> bytes:
-    """Minimal PNG encoder for fixtures/tests: 8-bit, non-interlaced,
-    scanline filters cycling 0..4 so round-trip tests exercise every
-    unfilter path of ``decode_png``."""
+def decode_png(payload: bytes):
+    """Pure-stdlib PNG decoder: chunk walk → zlib inflate → per-scanline
+    unfilter (all five filter types). Supports the 8-bit non-interlaced
+    color types (gray / RGB / gray+alpha / RGBA) — the shapes a crawl
+    payload pipeline actually meets; others raise. Returns an
+    (h, w, channels) uint8 array."""
     import struct
     import zlib
 
+    b = bytes(payload)
+    if not b.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG byte stream")
+    idat, ihdr = bytearray(), None
+    for typ, data in _walk_chunks(b):
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.extend(data)
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch = _check_ihdr(ihdr)
+    return _unfilter(zlib.decompress(bytes(idat)), w, h, ch)
+
+
+def _filter_scanlines(arr) -> bytes:
+    """Filter an (h, w, ch) array into a PNG image stream, cycling
+    filter types 0..4 so round-trips exercise every unfilter path."""
     import numpy as np
 
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
     h, w, ch = arr.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     raw = bytearray()
     prev = np.zeros(w * ch, dtype=np.uint8)
     for y in range(h):
@@ -157,18 +168,125 @@ def encode_png(arr) -> bytes:
                 filt[x] = (int(line[x]) - _png_predictor(ft, x, line, prev, ch)) & 0xFF
             raw.extend(filt)
         prev = line
+    return bytes(raw)
 
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data)) + typ + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
 
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG encoder for fixtures/tests: 8-bit, non-interlaced,
+    scanline filters cycling 0..4 so round-trip tests exercise every
+    unfilter path of ``decode_png``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     return (
-        PNG_MAGIC + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        PNG_MAGIC + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(_filter_scanlines(arr)))
+        + _chunk(b"IEND", b"")
     )
+
+
+def encode_apng(frames, delay_num: int = 1, delay_den: int = 10) -> bytes:
+    """Minimal APNG encoder (PNG 'acTL/fcTL/fdAT' extension): every
+    frame full-size at (0,0), independently compressed, filters cycling
+    0..4. Frame 0 is the default image (fcTL + IDAT); later frames ride
+    fdAT chunks with running sequence numbers — the wire layout
+    ``decode_apng`` walks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    frames = [f[:, :, None] if f.ndim == 2 else f for f in frames]
+    if not frames or any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("APNG needs >= 1 frames of identical shape")
+    h, w, ch = frames[0].shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    out = bytearray(PNG_MAGIC)
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, f in enumerate(frames):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, delay_num, delay_den, 0, 0
+        )
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        data = zlib.compress(_filter_scanlines(f))
+        if i == 0:
+            out += _chunk(b"IDAT", data)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def is_apng(payload: bytes) -> bool:
+    b = bytes(payload or b"")
+    if not b.startswith(PNG_MAGIC):
+        return False
+    return any(typ == b"acTL" for typ, _ in _walk_chunks(b))
+
+
+def decode_apng(payload: bytes):
+    """Pure-stdlib APNG frame decoder: IHDR/acTL, then per-fcTL frame
+    streams (IDAT for the default image, sequence-stripped fdAT after),
+    each inflated + unfiltered independently. Full-frame (0,0)-offset
+    frames only — offset/dispose/blend composition raises (honest
+    about what the codec does). Returns a list of (h, w, ch) arrays."""
+    import struct
+    import zlib
+
+    b = bytes(payload)
+    if not b.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG byte stream")
+    ihdr, n_frames = None, None
+    streams: list = []  # one bytearray per fcTL, in order
+    for typ, data in _walk_chunks(b):
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"acTL":
+            n_frames = struct.unpack(">II", data)[0]
+        elif typ == b"fcTL":
+            fw, fh, fx, fy = struct.unpack(">IIII", data[4:20])
+            if ihdr is None or (fw, fh, fx, fy) != (ihdr[0], ihdr[1], 0, 0):
+                raise NotImplementedError(
+                    "APNG sub-frame regions/composition unsupported "
+                    "(full-frame frames only)"
+                )
+            streams.append(bytearray())
+        elif typ == b"IDAT":
+            if streams:  # default image IS frame 0 when an fcTL precedes
+                streams[0].extend(data)
+        elif typ == b"fdAT":
+            if not streams:
+                raise ValueError("APNG fdAT before any fcTL")
+            streams[-1].extend(data[4:])  # strip the sequence number
+    if ihdr is None or n_frames is None:
+        raise ValueError("not an APNG (missing IHDR/acTL)")
+    if len(streams) != n_frames:
+        raise ValueError("APNG fcTL count does not match acTL")
+    w, h, ch = _check_ihdr(ihdr)
+    return [_unfilter(zlib.decompress(bytes(s)), w, h, ch) for s in streams]
 
 
 def decode_image(payload: bytes, deterministic_fake: bool = False):
@@ -238,9 +356,17 @@ def sample_frames(
     df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id",
     every_n: int = 2, max_frames: int = 4,
 ) -> DataFrame:
-    """Frame-sampling plumbing: emit (id, frame_idx, frame_payload) rows
-    — the explode shape a video pipeline needs. Frames are byte slices
-    here (stub); a real codec slots into the same generator."""
+    """Frame sampling: emit (id, frame_idx, frame_payload) rows — the
+    explode shape a video pipeline needs. ``frame_idx`` counts SAMPLED
+    frames (every ``every_n``-th source frame, up to ``max_frames``).
+
+    APNG payloads take the REAL codec path: ``decode_apng`` walks the
+    acTL/fcTL/fdAT chunk stream and each sampled frame's payload is its
+    decoded raw pixel bytes (h×w×ch, row-major). Other containers
+    (mp4/gif/...) still need external codecs absent from this
+    environment, so they keep the documented byte-slice stub — the
+    Spark-side plumbing (schema, Arrow batches, explode shape) is
+    identical on both paths."""
     import pandas as pd
 
     schema = f"{id_col} long, frame_idx int, frame binary"
@@ -250,6 +376,13 @@ def sample_frames(
             rows = []
             for i, payload in zip(pdf[id_col], pdf[bin_col]):
                 payload = bytes(payload or b"")
+                if is_apng(payload):
+                    decoded = decode_apng(payload)
+                    for fi, src in enumerate(range(0, len(decoded), every_n)):
+                        if fi >= max_frames:
+                            break
+                        rows.append((int(i), fi, decoded[src].tobytes()))
+                    continue
                 step = max(len(payload) // max(max_frames, 1), 1) * every_n
                 for fi in range(min(max_frames, max(len(payload) // max(step, 1), 1))):
                     rows.append((int(i), fi, payload[fi * step : fi * step + 16]))

@@ -322,3 +322,45 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     ranks = [r["rnk"] for r in T.ivf_ann(emb, query_ids=[0], k=5,
                                          cell_stride=10, nprobe=2).collect()]
     assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_apng_codec_roundtrip():
+    """encode_apng/decode_apng: the acTL/fcTL/fdAT chunk walk + per-
+    frame inflate/unfilter recovers every frame exactly, across gray /
+    GA / RGB / RGBA shapes and frame counts 1..8."""
+    import numpy as np
+
+    from krawler_spark.operators.multimodal import (
+        decode_apng, encode_apng, encode_png, is_apng)
+
+    rng = np.random.RandomState(11)
+    for shape, n in [((6, 8, 3), 8), ((5, 5), 1), ((4, 7, 4), 3), ((3, 3, 2), 5)]:
+        frames = [rng.randint(0, 256, shape, dtype=np.uint8) for _ in range(n)]
+        b = encode_apng(frames)
+        assert is_apng(b)
+        out = decode_apng(b)
+        assert len(out) == n
+        for a, c in zip(frames, out):
+            assert (a.reshape(c.shape) == c).all()
+    assert not is_apng(encode_png(frames[0]))
+
+
+def test_sample_frames_apng_real_decode(spark):
+    """sample_frames takes the REAL codec path on APNG payloads: every
+    every_n-th decoded frame's raw pixels come back, in order, capped
+    at max_frames; non-APNG payloads keep the byte-slice stub."""
+    import numpy as np
+
+    from krawler_spark.operators.multimodal import encode_apng, sample_frames
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (4, 6, 3), dtype=np.uint8) for _ in range(8)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_apng(frames))), (2, bytearray(b"notapng-payload!"))],
+        "doc_id long, payload binary",
+    )
+    got = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"])
+           for r in sample_frames(df, every_n=2, max_frames=4).collect()}
+    for fi in range(4):
+        assert got[(1, fi)] == frames[2 * fi].tobytes()
+    assert (2, 0) in got  # stub path still emits rows for raw bytes
