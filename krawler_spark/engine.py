@@ -554,6 +554,13 @@ class CrawlEngine:
         # the engine's redirects frame — live crawls populate
         # redirect_history exactly like the corpus twin. The wire fetch
         # is per-host paced inside the provider (Requests.kt:150-186).
+        # The chain above is checkpointed, so this first action
+        # materializes it ONCE — the fetch join below reuses it.
+        # totalPages note: the global budget cut needs fetch outcomes
+        # (only hits count), so with a budget set a round may wire-fetch
+        # admitted URLs beyond the remaining budget — the same in-flight
+        # over-fetch the reference's concurrent pipeline has when
+        # job.cancel() fires (Krawler.kt:348-354).
         if self.provider.dynamic:
             self.provider.refresh(rnd, admitted.select("url"))
             self.pages = self.provider.pages()

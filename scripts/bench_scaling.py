@@ -51,6 +51,41 @@ def cpu_calibration(n: int) -> dict:
             "ceiling": round(hi / lo / 4, 3)}
 
 
+def _triad(args):
+    # STREAM-triad-like kernel: a = a + 2b over cache-defeating arrays;
+    # one untimed warmup pass settles allocation + page faults so the
+    # timed loop measures steady-state DRAM traffic only
+    import numpy as np
+
+    elems, iters = args
+    a = np.ones(elems)
+    b = np.full(elems, 0.5)
+    a += 2.0 * b
+    t0 = time.time()
+    for _ in range(iters):
+        a += 2.0 * b
+    return 3 * 8 * elems * iters / (time.time() - t0)
+
+
+def mem_calibration(n: int) -> dict:
+    """Aggregate memory-BANDWIDTH scaling of this box for n vs 4n
+    processes (STREAM-like triad over 256 MB/process). A phase that is
+    DRAM-bound cannot scale past bw(4n)/bw(n) no matter how the engine
+    partitions — this ceiling is what a bandwidth-heavy stage (Arrow
+    transfer, parquet encode, shuffle spill) is graded against on a
+    single shared-bus host. A real N→4N fleet multiplies buses instead."""
+
+    def agg_bw(procs: int, mb: int = 256, iters: int = 6) -> float:
+        elems = mb * 1024 * 1024 // 8
+        with multiprocessing.Pool(procs) as p:
+            per_proc = p.map(_triad, [(elems, iters)] * procs)
+        return sum(per_proc) / 1e9
+
+    lo, hi = agg_bw(n), agg_bw(n * 4)
+    return {"n_gbs": round(lo, 1), "n4_gbs": round(hi, 1),
+            "ceiling": round(hi / lo / 4, 3)}
+
+
 def run_bench(cpus: int, hosts: int, pages: int) -> dict:
     env = dict(
         os.environ,
@@ -89,7 +124,9 @@ def main() -> None:
     args = ap.parse_args()
 
     calib = cpu_calibration(args.n)
-    print(f"machine calibration: {json.dumps(calib)}", flush=True)
+    print(f"machine calibration (cpu): {json.dumps(calib)}", flush=True)
+    mem = mem_calibration(args.n)
+    print(f"machine calibration (memory bandwidth): {json.dumps(mem)}", flush=True)
 
     # interleave configs across reps so a noise wave hits both equally
     runs: dict[int, list] = {args.n: [], args.n * 4: []}
@@ -151,7 +188,9 @@ oversubscription.
 
 **Speedup N→4N: {speedup:.2f}× → scaling efficiency {eff:.2f}**
 (criterion ≥ 0.8 means ≥ 3.2× from 4× cores; this box's own
-process-scaling ceiling at this pair is {calib['ceiling']:.2f}).
+process-scaling ceilings at this pair, same window: CPU
+{calib['ceiling']:.2f}, memory bandwidth {mem['ceiling']:.2f} —
+{mem['n_gbs']} → {mem['n4_gbs']} GB/s aggregate STREAM-triad).
 
 Full bench JSON (N): `{json.dumps(results[args.n])}`
 
