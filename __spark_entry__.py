@@ -534,6 +534,42 @@ def q_multimodal_png_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_gif_decode(spark, sf_dir):
+    """The REAL GIF decode path: the same 6×8 RGB pixel block as the
+    PNG twin is ENCODED as a GIF (palette build + GIF-LZW variable-
+    width codes) inside the task, then DECODED by the pure-stdlib
+    ``gifcodec`` in extract_features. The oracle recomputes the pixel
+    histogram directly from the text bytes — an LZW or palette bug
+    breaks the round-trip, so this is a true decode oracle."""
+    from krawler_spark.operators.multimodal import extract_features
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id", "text")
+
+    def _mk(batches):
+        import numpy as np
+        import pandas as pd
+
+        from krawler_spark.operators.gifcodec import encode_gif as _enc
+
+        for pdf in batches:
+            ids, pays = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                data = (t or "").encode("utf-8") or b"x"
+                px = bytes(data[k % len(data)] for k in range(144))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(6, 8, 3)
+                ids.append(int(i))
+                pays.append(_enc([arr]))
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    gif = d.mapInPandas(_mk, schema="doc_id long, payload binary")
+    out = extract_features(gif, deterministic_fake=False)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias("hist_str"),
+        "decode_ok",
+    )
+
+
 def q_events_window_agg(spark, sf_dir):
     """Tumbling-window aggregation — the batch twin of the structured-
     streaming rollup in krawler_spark.streaming."""
@@ -912,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_png_decode": q_multimodal_png_decode,
+        "multimodal_gif_decode": q_multimodal_gif_decode,
         "events_window_agg": q_events_window_agg,
         "crawl_visited": q_crawl_visited,
         "crawl_events": q_crawl_events,
@@ -1318,6 +1355,20 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS decode_ok
             FROM px""",
         "multimodal_png_decode": """
+            WITH t AS (
+              SELECT doc_id, coalesce(nullif(text, ''), 'x') AS tx
+              FROM documents WHERE doc_id < 100),
+            px AS (
+              SELECT doc_id,
+                     list_transform(range(144),
+                                    k -> ascii(substr(tx, CAST(k % length(tx) AS INT) + 1, 1))) AS pix
+              FROM t)
+            SELECT doc_id,
+                   array_to_string(list_transform(range(16),
+                       b -> len(list_filter(pix, p -> p // 16 = b))), ',') AS hist_str,
+                   TRUE AS decode_ok
+            FROM px""",
+        "multimodal_gif_decode": """
             WITH t AS (
               SELECT doc_id, coalesce(nullif(text, ''), 'x') AS tx
               FROM documents WHERE doc_id < 100),

@@ -1,12 +1,14 @@
 """Multimodal column plumbing — image/audio/video as opaque binary.
 
 The Spark-side mechanics (schema, partition-friendly batch shapes,
-Arrow-batched UDF signatures) are real and tested; the actual codec
-work is stubbed because the decode libraries are not in this container:
-``decode_image`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, in which case it produces a seeded fake
-decode so the downstream plumbing (feature vectors, resize metadata,
-frame sampling) can be exercised end-to-end.
+Arrow-batched UDF signatures) are real and tested. PNG (incl. APNG
+frame streams) and GIF (incl. animated, via ``gifcodec``) decode
+NATIVELY with pure-stdlib codecs; only DCT/VP8-family formats
+(JPEG/WebP, mp4/webm video) need external libraries absent from this
+container — for those ``decode_image`` raises ``NotImplementedError``
+unless ``deterministic_fake=True``, in which case it produces a seeded
+fake decode so the downstream plumbing (feature vectors, resize
+metadata, frame sampling) can still be exercised end-to-end.
 
 At 100 TB these operators run over ``mapInPandas`` with
 ``spark.sql.files.maxPartitionBytes`` sized so one Arrow batch of
@@ -291,20 +293,27 @@ def decode_apng(payload: bytes):
 
 def decode_image(payload: bytes, deterministic_fake: bool = False):
     """Image decode. PNG payloads decode NATIVELY via the pure-stdlib
-    ``decode_png`` (no PIL/libvips needed). Other formats (JPEG/GIF/...)
-    still need external codecs absent from this container and raise —
-    unless ``deterministic_fake=True``, which produces the md5-chain
-    fake: pixels = unhex(md5(p) || md5(md5(p)) || md5(md5(md5(p)))) —
+    ``decode_png``; GIF payloads via ``gifcodec.decode_gif`` (first
+    frame) — no PIL/libvips needed for either. Remaining formats
+    (JPEG/WebP/...) are DCT/VP8 codecs that genuinely need external
+    libraries absent from this container and raise — unless
+    ``deterministic_fake=True``, which produces the md5-chain fake:
+    pixels = unhex(md5(p) || md5(md5(p)) || md5(md5(md5(p)))) —
     48 bytes = a fake 4×4 RGB image, derivable in ANSI SQL so the
-    feature extractor keeps an exact DuckDB oracle for non-PNG inputs."""
+    feature extractor keeps an exact DuckDB oracle for non-decodable
+    inputs."""
     data = bytes(payload or b"")
     if data.startswith(PNG_MAGIC):
         return decode_png(data)
+    from .gifcodec import GIF_MAGICS, decode_gif
+
+    if data[:6] in GIF_MAGICS:
+        return decode_gif(data)[0]
     if not deterministic_fake:
         raise NotImplementedError(
-            "non-PNG image decode requires PIL/libvips — not available in "
-            "this environment; pass deterministic_fake=True for plumbing "
-            "tests (PNG decodes natively)"
+            "JPEG/WebP image decode requires PIL/libvips — not available "
+            "in this environment; pass deterministic_fake=True for "
+            "plumbing tests (PNG and GIF decode natively)"
         )
     import hashlib
 
@@ -360,14 +369,17 @@ def sample_frames(
     explode shape a video pipeline needs. ``frame_idx`` counts SAMPLED
     frames (every ``every_n``-th source frame, up to ``max_frames``).
 
-    APNG payloads take the REAL codec path: ``decode_apng`` walks the
-    acTL/fcTL/fdAT chunk stream and each sampled frame's payload is its
-    decoded raw pixel bytes (h×w×ch, row-major). Other containers
-    (mp4/gif/...) still need external codecs absent from this
-    environment, so they keep the documented byte-slice stub — the
-    Spark-side plumbing (schema, Arrow batches, explode shape) is
-    identical on both paths."""
+    APNG and animated-GIF payloads take REAL codec paths:
+    ``decode_apng`` walks the acTL/fcTL/fdAT chunk stream and
+    ``gifcodec.decode_gif`` LZW-decodes every image block; each sampled
+    frame's payload is its decoded raw pixel bytes (h×w×ch, row-major).
+    True video containers (mp4/webm) still need external codecs absent
+    from this environment, so they keep the documented byte-slice
+    stub — the Spark-side plumbing (schema, Arrow batches, explode
+    shape) is identical on all paths."""
     import pandas as pd
+
+    from .gifcodec import decode_gif, is_animated_gif
 
     schema = f"{id_col} long, frame_idx int, frame binary"
 
@@ -376,8 +388,12 @@ def sample_frames(
             rows = []
             for i, payload in zip(pdf[id_col], pdf[bin_col]):
                 payload = bytes(payload or b"")
+                decoded = None
                 if is_apng(payload):
                     decoded = decode_apng(payload)
+                elif is_animated_gif(payload):
+                    decoded = decode_gif(payload)
+                if decoded is not None:
                     for fi, src in enumerate(range(0, len(decoded), every_n)):
                         if fi >= max_frames:
                             break
