@@ -570,6 +570,46 @@ def q_multimodal_gif_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_decode(spark, sf_dir):
+    """The REAL JPEG decode path: a 16×32 BLOCK-FLAT gray image (eight
+    8×8 blocks, block k's value = text byte k — only integer DC terms,
+    so the baseline round-trip is bit-exact by construction) is
+    Huffman/DCT-ENCODED with restart markers in-task by
+    ``jpegcodec.encode_jpeg``, then DECODED through extract_features.
+    The oracle recomputes the histogram from the text bytes (64 pixels
+    per block) — a Huffman, DC-prediction, restart, dequant, or IDCT
+    bug breaks the round-trip."""
+    from krawler_spark.operators.multimodal import extract_features
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id", "text")
+
+    def _mk(batches):
+        import numpy as np
+        import pandas as pd
+
+        from krawler_spark.operators.jpegcodec import encode_jpeg as _enc
+
+        for pdf in batches:
+            ids, pays = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                data = (t or "").encode("utf-8") or b"x"
+                vals = np.frombuffer(
+                    bytes(data[k % len(data)] for k in range(8)), dtype=np.uint8
+                ).reshape(2, 4)
+                img = np.kron(vals, np.ones((8, 8), np.uint8))
+                ids.append(int(i))
+                pays.append(_enc(img, restart_every=2))
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    jpg = d.mapInPandas(_mk, schema="doc_id long, payload binary")
+    out = extract_features(jpg, deterministic_fake=False)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias("hist_str"),
+        "decode_ok",
+    )
+
+
 def q_events_window_agg(spark, sf_dir):
     """Tumbling-window aggregation — the batch twin of the structured-
     streaming rollup in krawler_spark.streaming."""
@@ -949,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "events_window_agg": q_events_window_agg,
         "crawl_visited": q_crawl_visited,
         "crawl_events": q_crawl_events,
@@ -1380,6 +1421,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    array_to_string(list_transform(range(16),
                        b -> len(list_filter(pix, p -> p // 16 = b))), ',') AS hist_str,
+                   TRUE AS decode_ok
+            FROM px""",
+        "multimodal_jpeg_decode": """
+            WITH t AS (
+              SELECT doc_id, coalesce(nullif(text, ''), 'x') AS tx
+              FROM documents WHERE doc_id < 100),
+            px AS (
+              SELECT doc_id,
+                     list_transform(range(8),
+                                    k -> ascii(substr(tx, CAST(k % length(tx) AS INT) + 1, 1))) AS blocks
+              FROM t)
+            SELECT doc_id,
+                   array_to_string(list_transform(range(16),
+                       b -> 64 * len(list_filter(blocks, p -> p // 16 = b))), ',') AS hist_str,
                    TRUE AS decode_ok
             FROM px""",
         "multimodal_sniff": """

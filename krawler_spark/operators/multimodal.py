@@ -2,13 +2,15 @@
 
 The Spark-side mechanics (schema, partition-friendly batch shapes,
 Arrow-batched UDF signatures) are real and tested. PNG (incl. APNG
-frame streams) and GIF (incl. animated, via ``gifcodec``) decode
-NATIVELY with pure-stdlib codecs; only DCT/VP8-family formats
-(JPEG/WebP, mp4/webm video) need external libraries absent from this
-container — for those ``decode_image`` raises ``NotImplementedError``
-unless ``deterministic_fake=True``, in which case it produces a seeded
-fake decode so the downstream plumbing (feature vectors, resize
-metadata, frame sampling) can still be exercised end-to-end.
+frame streams), GIF (incl. animated, via ``gifcodec``), and baseline
+JPEG (via ``jpegcodec``: Huffman + dequant + IDCT, 4:2:0/4:2:2/4:4:4,
+restart markers) decode NATIVELY with pure-stdlib codecs; only
+VP8/AV1-family formats (WebP/AVIF stills, mp4/webm video) need
+external libraries absent from this container — for those
+``decode_image`` raises ``NotImplementedError`` unless
+``deterministic_fake=True``, in which case it produces a seeded fake
+decode so the downstream plumbing (feature vectors, resize metadata,
+frame sampling) can still be exercised end-to-end.
 
 At 100 TB these operators run over ``mapInPandas`` with
 ``spark.sql.files.maxPartitionBytes`` sized so one Arrow batch of
@@ -293,27 +295,39 @@ def decode_apng(payload: bytes):
 
 def decode_image(payload: bytes, deterministic_fake: bool = False):
     """Image decode. PNG payloads decode NATIVELY via the pure-stdlib
-    ``decode_png``; GIF payloads via ``gifcodec.decode_gif`` (first
-    frame) — no PIL/libvips needed for either. Remaining formats
-    (JPEG/WebP/...) are DCT/VP8 codecs that genuinely need external
-    libraries absent from this container and raise — unless
+    ``decode_png``; GIF via ``gifcodec.decode_gif`` (first frame);
+    baseline-sequential JPEG via ``jpegcodec.decode_jpeg`` — no
+    PIL/libvips needed for any of them. Remaining formats (WebP/AVIF)
+    are VP8/AV1 codecs that genuinely need external libraries absent
+    from this container and raise — unless
     ``deterministic_fake=True``, which produces the md5-chain fake:
     pixels = unhex(md5(p) || md5(md5(p)) || md5(md5(md5(p)))) —
     48 bytes = a fake 4×4 RGB image, derivable in ANSI SQL so the
     feature extractor keeps an exact DuckDB oracle for non-decodable
     inputs."""
     data = bytes(payload or b"")
-    if data.startswith(PNG_MAGIC):
-        return decode_png(data)
     from .gifcodec import GIF_MAGICS, decode_gif
+    from .jpegcodec import decode_jpeg
 
-    if data[:6] in GIF_MAGICS:
-        return decode_gif(data)[0]
+    native = None
+    if data.startswith(PNG_MAGIC):
+        native = lambda: decode_png(data)  # noqa: E731
+    elif data[:6] in GIF_MAGICS:
+        native = lambda: decode_gif(data)[0]  # noqa: E731
+    elif data[:3] == b"\xff\xd8\xff":
+        native = lambda: decode_jpeg(data)  # noqa: E731
+    if native is not None:
+        if not deterministic_fake:
+            return native()  # corrupt/unsupported-mode payloads raise
+        try:
+            return native()
+        except (ValueError, NotImplementedError):
+            pass  # fake mode degrades corrupt payloads to the md5 fake
     if not deterministic_fake:
         raise NotImplementedError(
-            "JPEG/WebP image decode requires PIL/libvips — not available "
+            "WebP/AVIF image decode requires PIL/libvips — not available "
             "in this environment; pass deterministic_fake=True for "
-            "plumbing tests (PNG and GIF decode natively)"
+            "plumbing tests (PNG, GIF, and baseline JPEG decode natively)"
         )
     import hashlib
 
@@ -350,7 +364,9 @@ def extract_features(
                     hists.append([int(x) for x in hist])
                     feats.append((hist / max(hist.sum(), 1)).astype(float).tolist())
                     oks.append(True)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # unsupported format or corrupt payload: a 100-TB
+                    # job must record the miss, never crash the stage
                     hists.append([0] * FEATURE_DIM)
                     feats.append([0.0] * FEATURE_DIM)
                     oks.append(False)

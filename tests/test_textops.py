@@ -177,8 +177,12 @@ def test_multimodal_plumbing(spark):
 def test_multimodal_decode_stub_raises():
     from krawler_spark.operators.multimodal import decode_image
 
-    # non-PNG payloads (JPEG etc.) still need external codecs
+    # WebP/AVIF payloads still need external codecs (PNG/GIF/JPEG are
+    # native now)
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # a JPEG-magic payload with a corrupt body must error, not fake
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xffjpegbytes")
 
 
@@ -440,3 +444,73 @@ def test_sample_frames_animated_gif_real_decode(spark):
     assert len(got) == 4
     for fi in range(4):
         assert got[(1, fi)] == frames[2 * fi].tobytes()
+
+
+def test_jpeg_codec_roundtrip():
+    """encode_jpeg/decode_jpeg: baseline-sequential Huffman + DCT.
+    Flat and block-flat inputs round-trip EXACTLY (only DC terms, all
+    integer); general content is within the documented rounding bounds
+    across 4:4:4, 4:2:0, and restart-marker streams; unsupported modes
+    raise instead of faking."""
+    import numpy as np
+    import pytest as _pytest
+
+    from krawler_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(5)
+    # flat gray: bit-exact
+    for v in (0, 93, 255):
+        out = decode_jpeg(encode_jpeg(np.full((10, 14), v, np.uint8)))
+        assert out.shape == (10, 14, 1) and (out == v).all()
+    # block-flat gray (per-8x8-block values): exact, exercises the DC
+    # prediction chain + multiple Huffman sizes + restart resets
+    vals = rng.randint(0, 256, size=(2, 4)).astype(np.uint8)
+    img = np.kron(vals, np.ones((8, 8), np.uint8))
+    for rst in (0, 2):
+        out = decode_jpeg(encode_jpeg(img, restart_every=rst))
+        assert (out[..., 0] == img).all(), rst
+    # random RGB 4:4:4 within rounding tolerance (color transform +
+    # IDCT rounding only at quant=1)
+    for shape in [(13, 17, 3), (31, 9, 3)]:
+        x = rng.randint(0, 256, size=shape).astype(np.uint8)
+        d = np.abs(decode_jpeg(encode_jpeg(x)).astype(int) - x.astype(int)).max()
+        assert d <= 4, (shape, d)
+    # 4:2:0 on smooth content: chroma box-average + replication upsample
+    grad = np.zeros((48, 40, 3), np.uint8)
+    grad[..., 0] = np.linspace(10, 240, 48).astype(np.uint8)[:, None]
+    grad[..., 1] = np.linspace(20, 230, 40).astype(np.uint8)[None, :]
+    grad[..., 2] = 90
+    d = np.abs(
+        decode_jpeg(encode_jpeg(grad, subsample=True)).astype(int)
+        - grad.astype(int)
+    ).max()
+    assert d <= 16, d
+    # coarse quant still decodes (lossy path)
+    assert decode_jpeg(encode_jpeg(grad, quant=16)).shape == grad.shape
+    # honesty: progressive SOF2 refuses
+    sof2 = bytearray(encode_jpeg(np.full((8, 8), 5, np.uint8)))
+    i = bytes(sof2).find(b"\xff\xc0")
+    sof2[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sof2))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_decode_image_jpeg_native(spark):
+    """Block-flat JPEG payloads decode natively and bit-exactly through
+    decode_image/extract_features — histogram reflects true pixels."""
+    import numpy as np
+
+    from krawler_spark.operators.jpegcodec import encode_jpeg
+    from krawler_spark.operators.multimodal import decode_image, extract_features
+
+    vals = np.array([[3, 200], [77, 130]], np.uint8)
+    img = np.kron(vals, np.ones((8, 8), np.uint8))
+    jpg = encode_jpeg(img)
+    assert (decode_image(jpg)[..., 0] == img).all()
+    df = spark.createDataFrame([(0, bytearray(jpg))], "doc_id long, payload binary")
+    row = extract_features(df, deterministic_fake=False).collect()[0]
+    assert row["decode_ok"]
+    want = np.histogram(img, bins=16, range=(0, 256))[0]
+    assert row["hist"] == [int(x) for x in want]
