@@ -288,20 +288,36 @@ _PSL_DATA = os.path.join(os.path.dirname(__file__), "data",
                          "public_suffix_list.dat")
 
 
+def _psl_lines(path):
+    """Read the vendored list in a zip-safe way: executors on a real
+    cluster import this package from the ``--py-files`` zip, where
+    ``__file__`` points inside the archive and ``open()`` would fail —
+    importlib.resources resolves through the zip loader."""
+    try:
+        with open(path, encoding="utf-8") as f:
+            return f.read().splitlines()
+    except OSError:
+        if path != _PSL_DATA:
+            raise
+        from importlib import resources
+
+        pkg = resources.files(__package__) / "data" / "public_suffix_list.dat"
+        return pkg.read_text(encoding="utf-8").splitlines()
+
+
 def _load_psl(path: str = _PSL_DATA):
     exact, wildcard, exceptions = set(), set(), set()
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("//"):
-                continue
-            rule = line.split()[0].lower()
-            if rule.startswith("!"):
-                exceptions.add(rule[1:])
-            elif rule.startswith("*."):
-                wildcard.add(rule[2:])
-            elif rule != "*":
-                exact.add(rule)
+    for line in _psl_lines(path):
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower()
+        if rule.startswith("!"):
+            exceptions.add(rule[1:])
+        elif rule.startswith("*."):
+            wildcard.add(rule[2:])
+        elif rule != "*":
+            exact.add(rule)
 
     def _puny(s: str):
         try:

@@ -153,6 +153,30 @@ def main() -> None:
     eff = speedup / 4
     ups_lo, ups_hi = lo["urls_per_sec"], hi["urls_per_sec"]
 
+    # persist this window so BASELINE.md can show EVERY recorded window
+    # (the gate asks for the efficiency to hold across windows, not one
+    # lucky measurement)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    window = {
+        "when": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+        "n": args.n, "hosts": args.hosts, "pages": args.pages,
+        "reps": args.reps, "calib": calib, "mem": mem,
+        "lo": lo, "hi": hi,
+        "speedup": round(speedup, 2), "eff": round(eff, 3),
+    }
+    wpath = os.path.join(REPO, "BENCH", "windows.jsonl")
+    with open(wpath, "a") as f:
+        f.write(json.dumps(window) + "\n")
+    with open(wpath) as f:
+        windows = [json.loads(l) for l in f if l.strip()]
+    wrows = "\n".join(
+        f"| {w['when']} | local[{w['n']}]→local[{w['n'] * 4}] | "
+        f"{w['hosts']}×{w['pages']} | {w['lo']['sec']} | {w['hi']['sec']} | "
+        f"{w['speedup']:.2f}× | **{w['eff']:.2f}** | "
+        f"{w['calib']['ceiling']:.2f} / {w['mem']['ceiling']:.2f} |"
+        for w in windows
+    )
+
     md = f"""# BENCH/BASELINE — crawl-engine throughput + scaling evidence
 
 North-star metric (BASELINE.json): **URLs fetched+deduped/sec per
@@ -192,13 +216,23 @@ process-scaling ceilings at this pair, same window: CPU
 {calib['ceiling']:.2f}, memory bandwidth {mem['ceiling']:.2f} —
 {mem['n_gbs']} → {mem['n4_gbs']} GB/s aggregate STREAM-triad).
 
+## All recorded windows (BENCH/windows.jsonl)
+
+Every completed evidence window, oldest first — the gate is graded on
+the measurement holding across independent windows, not one lucky run.
+The last two columns are the MACHINE's own process-scaling ceilings
+(CPU / memory-bandwidth) measured in the same window.
+
+| window (UTC) | pair | corpus | N sec | 4N sec | speedup | efficiency | cpu / bw ceiling |
+|---|---|---|---|---|---|---|---|
+{wrows}
+
 Full bench JSON (N): `{json.dumps(results[args.n])}`
 
 Full bench JSON (4N): `{json.dumps(results[args.n * 4])}`
 
 Reproduce: `python scripts/bench_scaling.py --hosts {args.hosts} --pages {args.pages} --n {args.n}`
 """
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)
