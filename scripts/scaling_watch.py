@@ -1,0 +1,94 @@
+"""Noise-gated launcher for the scaling window.
+
+The sandbox shares a host with co-tenants whose load comes in waves
+(observed memory-bandwidth scaling ceiling swinging 0.41 ↔ 0.91 within
+an hour). Recording an N→4N window during a bad wave measures the
+neighbours, not the engine — so this watcher probes the machine's own
+1→4-process STREAM-triad scaling every few minutes and only launches
+`bench_scaling.py` once the box is quiet:
+
+  * bw ceiling ≥ --min-ceiling (default 0.8): the DRAM bus scales,
+  * aggregate 4-proc bandwidth ≥ --min-gbs (default 15): co-tenants
+    are not eating the absolute budget either,
+  * no local pytest/Spark JVM is running (our own work pollutes too).
+
+On launch the window runs synchronously (bench_scaling itself appends
+to BENCH/windows.jsonl and rewrites BENCH/BASELINE.md); the watcher
+exits after --max-windows successful windows or --max-hours.
+
+Usage: nohup python scripts/scaling_watch.py > /tmp/scaling_watch.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from bench_scaling import mem_calibration  # noqa: E402
+
+
+def busy_with_own_work() -> bool:
+    out = subprocess.run(
+        ["ps", "ax", "-o", "args="], capture_output=True, text=True
+    ).stdout
+    for line in out.splitlines():
+        if "pytest" in line or "profile_crawl" in line:
+            return True
+        if "java" in line and "ivy" in line.lower():
+            return True
+    return False
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min-ceiling", type=float, default=0.8)
+    ap.add_argument("--min-gbs", type=float, default=15.0)
+    ap.add_argument("--probe-minutes", type=float, default=4.0)
+    ap.add_argument("--max-windows", type=int, default=1)
+    ap.add_argument("--max-hours", type=float, default=4.0)
+    ap.add_argument("--hosts", type=int, default=64)
+    ap.add_argument("--pages", type=int, default=12000)
+    ap.add_argument("--n", type=int, default=1)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    t_end = time.time() + args.max_hours * 3600
+    recorded = 0
+    while time.time() < t_end and recorded < args.max_windows:
+        if busy_with_own_work():
+            print(f"{time.strftime('%H:%M:%S')} own work running — skip probe",
+                  flush=True)
+            time.sleep(60 * args.probe_minutes)
+            continue
+        mem = mem_calibration(args.n)
+        quiet = (mem["ceiling"] >= args.min_ceiling
+                 and mem["n4_gbs"] >= args.min_gbs)
+        print(f"{time.strftime('%H:%M:%S')} probe {json.dumps(mem)} "
+              f"quiet={quiet}", flush=True)
+        if not quiet:
+            time.sleep(60 * args.probe_minutes)
+            continue
+        print("QUIET — launching scaling window", flush=True)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "bench_scaling.py"),
+             "--hosts", str(args.hosts), "--pages", str(args.pages),
+             "--n", str(args.n), "--reps", str(args.reps)],
+            cwd=REPO)
+        if r.returncode == 0:
+            recorded += 1
+            print(f"window recorded ({recorded}/{args.max_windows})", flush=True)
+        else:
+            print(f"bench_scaling failed rc={r.returncode}", flush=True)
+            time.sleep(60 * args.probe_minutes)
+    print("watcher done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
