@@ -93,6 +93,7 @@ def run_bench(cpus: int, hosts: int, pages: int) -> dict:
         KS_BENCH_HOSTS=str(hosts),
         KS_BENCH_PAGES_PER_HOST=str(pages),
         KS_BENCH_CRAWL_ONLY="1",  # scaling measures the round loop only
+        KS_BENCH_CRAWL_REPS="1",  # this script reps + mins at its own level
         # multi-million-row rounds cache GBs; a small heap evicts cached
         # blocks mid-query under memory pressure
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "40g"),
