@@ -570,6 +570,43 @@ def q_multimodal_gif_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_webp_decode(spark, sf_dir):
+    """The REAL lossless-WebP decode path: the same 6×8 RGB pixel block
+    as the PNG/GIF twins is ENCODED as a VP8L bitstream in-task
+    (``webpcodec.encode_webp_lossless``: balanced canonical Huffman
+    codes written through the 19-symbol code-length code), then DECODED
+    by the pure-stdlib VP8L decoder in extract_features. The oracle
+    recomputes the pixel histogram from the text bytes — a bit-writer,
+    canonical-code, or entropy-loop bug breaks the round-trip."""
+    from krawler_spark.operators.multimodal import extract_features
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id", "text")
+
+    def _mk(batches):
+        import numpy as np
+        import pandas as pd
+
+        from krawler_spark.operators.webpcodec import encode_webp_lossless as _enc
+
+        for pdf in batches:
+            ids, pays = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                data = (t or "").encode("utf-8") or b"x"
+                px = bytes(data[k % len(data)] for k in range(144))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(6, 8, 3)
+                ids.append(int(i))
+                pays.append(_enc(arr))
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    webp = d.mapInPandas(_mk, schema="doc_id long, payload binary")
+    out = extract_features(webp, deterministic_fake=False)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias("hist_str"),
+        "decode_ok",
+    )
+
+
 def q_multimodal_jpeg_decode(spark, sf_dir):
     """The REAL JPEG decode path: a 16×32 BLOCK-FLAT gray image (eight
     8×8 blocks, block k's value = text byte k — only integer DC terms,
@@ -989,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_webp_decode": q_multimodal_webp_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "events_window_agg": q_events_window_agg,
         "crawl_visited": q_crawl_visited,
@@ -1410,6 +1448,20 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS decode_ok
             FROM px""",
         "multimodal_gif_decode": """
+            WITH t AS (
+              SELECT doc_id, coalesce(nullif(text, ''), 'x') AS tx
+              FROM documents WHERE doc_id < 100),
+            px AS (
+              SELECT doc_id,
+                     list_transform(range(144),
+                                    k -> ascii(substr(tx, CAST(k % length(tx) AS INT) + 1, 1))) AS pix
+              FROM t)
+            SELECT doc_id,
+                   array_to_string(list_transform(range(16),
+                       b -> len(list_filter(pix, p -> p // 16 = b))), ',') AS hist_str,
+                   TRUE AS decode_ok
+            FROM px""",
+        "multimodal_webp_decode": """
             WITH t AS (
               SELECT doc_id, coalesce(nullif(text, ''), 'x') AS tx
               FROM documents WHERE doc_id < 100),

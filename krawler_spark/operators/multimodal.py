@@ -2,12 +2,14 @@
 
 The Spark-side mechanics (schema, partition-friendly batch shapes,
 Arrow-batched UDF signatures) are real and tested. PNG (incl. APNG
-frame streams), GIF (incl. animated, via ``gifcodec``), and baseline
+frame streams), GIF (incl. animated, via ``gifcodec``), baseline
 JPEG (via ``jpegcodec``: Huffman + dequant + IDCT, 4:2:0/4:2:2/4:4:4,
-restart markers) decode NATIVELY with pure-stdlib codecs; only
-VP8/AV1-family formats (WebP/AVIF stills, mp4/webm video) need
-external libraries absent from this container — for those
-``decode_image`` raises ``NotImplementedError`` unless
+restart markers), and lossless WebP (via ``webpcodec``: full VP8L —
+transforms, color cache, LZ77, meta-Huffman; cross-validated bit-exact
+against libwebp) decode NATIVELY with pure-stdlib codecs; only
+lossy-VP8/AV1-family formats (lossy WebP, AVIF stills, mp4/webm video)
+need external video-codec libraries absent from this container — for
+those ``decode_image`` raises ``NotImplementedError`` unless
 ``deterministic_fake=True``, in which case it produces a seeded fake
 decode so the downstream plumbing (feature vectors, resize metadata,
 frame sampling) can still be exercised end-to-end.
@@ -31,10 +33,13 @@ MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
     b"GIF8": "image/gif",
-    b"RIFF": "audio/wav",
     b"ID3": "audio/mp3",
     b"\x00\x00\x00\x18ftyp": "video/mp4",
 }
+
+# RIFF is a container, not a format: bytes 8-12 carry the actual type
+# (WEBP still image, WAVE audio, "AVI " video).
+_RIFF_KINDS = {b"WEBP": "image/webp", b"WAVE": "audio/wav", b"AVI ": "video/avi"}
 
 
 def sniff_media_type(df: DataFrame, bin_col: str = "payload") -> DataFrame:
@@ -46,6 +51,14 @@ def sniff_media_type(df: DataFrame, bin_col: str = "payload") -> DataFrame:
         expr = F.when(
             F.hex(F.substring(b, 1, len(magic))) == F.lit(hexpref.upper()), F.lit(mtype)
         ).otherwise(expr)
+    riff = F.lit("application/octet-stream")
+    for kind, mtype in _RIFF_KINDS.items():
+        riff = F.when(
+            F.hex(F.substring(b, 9, 4)) == F.lit(kind.hex().upper()), F.lit(mtype)
+        ).otherwise(riff)
+    expr = F.when(
+        F.hex(F.substring(b, 1, 4)) == F.lit(b"RIFF".hex().upper()), riff
+    ).otherwise(expr)
     return df.withColumn("media_type", expr).withColumn(
         "n_bytes", F.octet_length(b).cast("long")
     )
@@ -296,10 +309,11 @@ def decode_apng(payload: bytes):
 def decode_image(payload: bytes, deterministic_fake: bool = False):
     """Image decode. PNG payloads decode NATIVELY via the pure-stdlib
     ``decode_png``; GIF via ``gifcodec.decode_gif`` (first frame);
-    baseline-sequential JPEG via ``jpegcodec.decode_jpeg`` — no
-    PIL/libvips needed for any of them. Remaining formats (WebP/AVIF)
-    are VP8/AV1 codecs that genuinely need external libraries absent
-    from this container and raise — unless
+    baseline-sequential JPEG via ``jpegcodec.decode_jpeg``; lossless
+    WebP via ``webpcodec.decode_webp`` (full VP8L, alpha dropped) — no
+    PIL/libvips needed for any of them. Remaining formats (lossy
+    WebP/AVIF) are VP8/AV1 video codecs that genuinely need external
+    libraries absent from this container and raise — unless
     ``deterministic_fake=True``, which produces the md5-chain fake:
     pixels = unhex(md5(p) || md5(md5(p)) || md5(md5(md5(p)))) —
     48 bytes = a fake 4×4 RGB image, derivable in ANSI SQL so the
@@ -308,6 +322,7 @@ def decode_image(payload: bytes, deterministic_fake: bool = False):
     data = bytes(payload or b"")
     from .gifcodec import GIF_MAGICS, decode_gif
     from .jpegcodec import decode_jpeg
+    from .webpcodec import decode_webp, is_webp
 
     native = None
     if data.startswith(PNG_MAGIC):
@@ -316,6 +331,9 @@ def decode_image(payload: bytes, deterministic_fake: bool = False):
         native = lambda: decode_gif(data)[0]  # noqa: E731
     elif data[:3] == b"\xff\xd8\xff":
         native = lambda: decode_jpeg(data)  # noqa: E731
+    elif is_webp(data):
+        # lossless (VP8L) decodes natively; lossy VP8 raises inside
+        native = lambda: decode_webp(data)[..., :3]  # noqa: E731
     if native is not None:
         if not deterministic_fake:
             return native()  # corrupt/unsupported-mode payloads raise
@@ -325,9 +343,10 @@ def decode_image(payload: bytes, deterministic_fake: bool = False):
             pass  # fake mode degrades corrupt payloads to the md5 fake
     if not deterministic_fake:
         raise NotImplementedError(
-            "WebP/AVIF image decode requires PIL/libvips — not available "
-            "in this environment; pass deterministic_fake=True for "
-            "plumbing tests (PNG, GIF, and baseline JPEG decode natively)"
+            "lossy-WebP/AVIF image decode requires libwebp/libavif — not "
+            "available in this environment; pass deterministic_fake=True "
+            "for plumbing tests (PNG, GIF, baseline JPEG, and lossless "
+            "WebP decode natively)"
         )
     import hashlib
 

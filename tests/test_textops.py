@@ -177,9 +177,13 @@ def test_multimodal_plumbing(spark):
 def test_multimodal_decode_stub_raises():
     from krawler_spark.operators.multimodal import decode_image
 
-    # WebP/AVIF payloads still need external codecs (PNG/GIF/JPEG are
-    # native now)
+    # lossy WebP still needs an external VP8 codec (PNG/GIF/JPEG and
+    # lossless WebP are native now); a truncated container is malformed
+    lossy = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" +
+             b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8)
     with pytest.raises(NotImplementedError):
+        decode_image(lossy)
+    with pytest.raises(ValueError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     # a JPEG-magic payload with a corrupt body must error, not fake
     with pytest.raises(ValueError):

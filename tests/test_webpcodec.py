@@ -1,0 +1,179 @@
+"""Pure-stdlib VP8L (lossless WebP) codec tests.
+
+Ground truth is the system libwebp via ctypes where present (the
+library ships in this container; the tests that need it skip cleanly
+elsewhere). The decoder must be bit-exact with libwebp's decoder on
+real libwebp-encoder output — which exercises transforms, LZ77, color
+cache, and meta-Huffman chosen by the real encoder — and the vendored
+2D plane-code table must match the behaviorally-recovered one.
+"""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from krawler_spark.operators.webpcodec import (
+    _PLANE_CODES,
+    decode_webp,
+    encode_webp_lossless,
+    is_webp,
+)
+
+
+def _libwebp():
+    try:
+        lw = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    lw.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lw.WebPEncodeLosslessRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p)]
+    lw.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+    lw.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    return lw
+
+
+def _lw_encode(lw, rgba: np.ndarray) -> bytes:
+    rgba = np.ascontiguousarray(rgba)
+    out = ctypes.c_void_p()
+    n = lw.WebPEncodeLosslessRGBA(
+        rgba.tobytes(), rgba.shape[1], rgba.shape[0], rgba.shape[1] * 4,
+        ctypes.byref(out))
+    assert n > 0
+    return ctypes.string_at(out, n)
+
+
+def _lw_decode(lw, data: bytes) -> np.ndarray:
+    w, h = ctypes.c_int(), ctypes.c_int()
+    p = lw.WebPDecodeRGBA(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    assert p
+    return np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
+
+
+def test_roundtrip_own_encoder():
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1, 3), (6, 8, 3), (13, 17, 4), (32, 32, 3)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        enc = encode_webp_lossless(arr)
+        assert is_webp(enc)
+        dec = decode_webp(enc)
+        exp = (arr if shape[2] == 4 else
+               np.concatenate([arr, np.full(shape[:2] + (1,), 255, np.uint8)],
+                              axis=2))
+        assert (dec == exp).all(), shape
+
+
+def test_corrupt_and_lossy_raise():
+    with pytest.raises(ValueError):
+        decode_webp(b"not a webp at all")
+    # a "VP8 " (lossy) chunk is honestly refused, not faked
+    lossy = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" +
+             b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8)
+    with pytest.raises(NotImplementedError):
+        decode_webp(lossy)
+    # truncated VP8L body
+    good = encode_webp_lossless(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError):
+        decode_webp(good[:24])
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="libwebp not present")
+def test_own_encoder_conforms_to_libwebp():
+    lw = _libwebp()
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    got = _lw_decode(lw, encode_webp_lossless(arr))
+    assert (got[..., :3] == arr).all() and (got[..., 3] == 255).all()
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="libwebp not present")
+def test_decoder_bit_exact_vs_libwebp_encoder():
+    """Real libwebp output (its choice of predictor/color transforms,
+    palette bundling, LZ77, cache, meta-Huffman) must decode to exactly
+    what libwebp's own decoder produces."""
+    lw = _libwebp()
+    rng = np.random.default_rng(7)
+    gy, gx = np.meshgrid(np.arange(40), np.arange(40), indexing="ij")
+    cases = [
+        rng.integers(0, 256, size=(24, 24, 4), dtype=np.uint8),
+        np.stack([gy * 5 % 256, gx * 3 % 256, (gy + gx) * 2 % 256],
+                 axis=2).astype(np.uint8),
+        np.full((16, 16, 4), 130, np.uint8),
+        (np.array([(10, 20, 30), (200, 10, 60)], np.uint8)
+         [rng.integers(0, 2, size=(30, 30))]),
+        (np.array([(10, 20, 30), (200, 10, 60), (0, 0, 0), (255, 255, 255),
+                   (90, 90, 1)], np.uint8)[rng.integers(0, 5, size=(33, 29))]),
+        (rng.integers(0, 256, size=(20, 3), dtype=np.uint8)
+         [rng.integers(0, 20, size=(64, 64))]),
+        ((rng.random((50, 50, 1)) < 0.2) * 255 *
+         np.ones((1, 1, 3))).astype(np.uint8),
+        rng.integers(0, 256, size=(150, 200, 4), dtype=np.uint8),
+        np.dstack([rng.integers(0, 256, (40, 40, 3), dtype=np.uint8),
+                   rng.integers(0, 256, (40, 40), dtype=np.uint8)[..., None]]),
+        rng.integers(0, 256, size=(1, 200, 4), dtype=np.uint8),
+        rng.integers(0, 256, size=(200, 1, 4), dtype=np.uint8),
+    ]
+    for i, a in enumerate(cases):
+        if a.shape[2] == 3:
+            a = np.concatenate(
+                [a, np.full(a.shape[:2] + (1,), 255, np.uint8)], axis=2)
+        buf = _lw_encode(lw, a)
+        ref = _lw_decode(lw, buf)
+        assert (decode_webp(buf) == ref).all(), f"case {i}"
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="libwebp not present")
+def test_plane_code_table_matches_libwebp():
+    """Re-derive the 120-entry 2D distance table behaviorally from
+    libwebp (scripts/recover_plane_codes.py) and compare to the
+    vendored literal."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "recover_plane_codes",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "recover_plane_codes.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    lw = _libwebp()
+    derived = []
+    for plane in range(1, 121):
+        data = mod.probe_stream(plane)
+        flat = _lw_decode(lw, data).reshape(-1, 4)
+        src_id = int(flat[mod.TARGET, 1]) | (int(flat[mod.TARGET, 0]) << 8)
+        dist = mod.TARGET - src_id
+        dy = (dist + 8) // mod.W
+        dx = dist - dy * mod.W
+        derived.append((dy << 4) | (8 - dx))
+    assert bytes(derived) == _PLANE_CODES
+
+
+def test_decode_image_dispatch():
+    from krawler_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    out = decode_image(encode_webp_lossless(arr))
+    assert out.shape == (6, 8, 3) and (out == arr).all()
+
+
+def test_sniff_riff_kinds(spark):
+    from krawler_spark.operators.multimodal import sniff_media_type
+
+    rows = [
+        (1, bytearray(encode_webp_lossless(np.zeros((2, 2, 3), np.uint8)))),
+        (2, bytearray(b"RIFF\x04\x00\x00\x00WAVEdata")),
+        (3, bytearray(b"RIFF\x04\x00\x00\x00AVI LIST")),
+        (4, bytearray(b"RIFFxx")),  # truncated container
+        (5, bytearray(b"\x89PNG\r\n\x1a\nrest")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, payload binary")
+    got = {r.doc_id: r.media_type
+           for r in sniff_media_type(df).collect()}
+    assert got == {1: "image/webp", 2: "audio/wav", 3: "video/avi",
+                   4: "application/octet-stream", 5: "image/png"}
