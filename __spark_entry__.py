@@ -570,6 +570,53 @@ def q_multimodal_gif_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_webp_frames(spark, sf_dir):
+    """Animated-WebP frame sampling: an 8-frame VP8X/ANIM/ANMF
+    container is assembled from each doc's text bytes (frame m, pixel
+    j = text_byte[(m*72 + j) % len]; 4×6 RGB lossless frames), then
+    ``sample_frames`` walks the ANMF chunks decoding each VP8L frame
+    and emits every 2nd frame's DECODED pixels. The oracle recomputes
+    those pixels straight from the text — a container + VP8L codec
+    round-trip, the WebP twin of ``multimodal_frames``."""
+    from krawler_spark.operators.multimodal import sample_frames
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+
+    def _mk(batches):
+        import numpy as np
+        import pandas as pd
+
+        from krawler_spark.operators.webpcodec import encode_webp_anim as _enc
+
+        for pdf in batches:
+            ids, pays = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                data = (t or "").encode("utf-8") or b"x"
+                frames = []
+                for m in range(8):
+                    px = bytes(data[(m * 72 + j) % len(data)] for j in range(72))
+                    frames.append(
+                        np.frombuffer(px, dtype=np.uint8).reshape(4, 6, 3)
+                    )
+                ids.append(int(i))
+                pays.append(_enc(frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    awebp = d.mapInPandas(_mk, schema="doc_id long, payload binary")
+    frames = sample_frames(awebp, every_n=2, max_frames=4)
+
+    def _csv(batches):
+        for pdf in batches:
+            pdf = pdf.assign(
+                pix_str=[",".join(str(x) for x in bytes(fr)) for fr in pdf["frame"]]
+            )
+            yield pdf[["doc_id", "frame_idx", "pix_str"]]
+
+    return frames.mapInPandas(
+        _csv, schema="doc_id long, frame_idx int, pix_str string"
+    )
+
+
 def q_multimodal_webp_decode(spark, sf_dir):
     """The REAL lossless-WebP decode path: the same 6×8 RGB pixel block
     as the PNG/GIF twins is ENCODED as a VP8L bitstream in-task
@@ -1027,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_webp_decode": q_multimodal_webp_decode,
+        "multimodal_webp_frames": q_multimodal_webp_frames,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "events_window_agg": q_events_window_agg,
         "crawl_visited": q_crawl_visited,
@@ -1494,6 +1542,17 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes
             FROM documents""",
         "multimodal_frames": """
+            WITH t AS (
+              SELECT doc_id, coalesce(nullif(text, ''), 'x') AS tx
+              FROM documents WHERE doc_id < 200),
+            f AS (SELECT doc_id, tx, unnest(range(4)) AS fi FROM t)
+            SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                   array_to_string(list_transform(range(72),
+                       j -> ascii(substr(tx,
+                           CAST((fi * 2 * 72 + j) % length(tx) AS INT) + 1, 1))),
+                       ',') AS pix_str
+            FROM f""",
+        "multimodal_webp_frames": """
             WITH t AS (
               SELECT doc_id, coalesce(nullif(text, ''), 'x') AS tx
               FROM documents WHERE doc_id < 200),

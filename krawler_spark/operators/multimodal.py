@@ -404,17 +404,20 @@ def sample_frames(
     explode shape a video pipeline needs. ``frame_idx`` counts SAMPLED
     frames (every ``every_n``-th source frame, up to ``max_frames``).
 
-    APNG and animated-GIF payloads take REAL codec paths:
-    ``decode_apng`` walks the acTL/fcTL/fdAT chunk stream and
-    ``gifcodec.decode_gif`` LZW-decodes every image block; each sampled
-    frame's payload is its decoded raw pixel bytes (h×w×ch, row-major).
-    True video containers (mp4/webm) still need external codecs absent
-    from this environment, so they keep the documented byte-slice
-    stub — the Spark-side plumbing (schema, Arrow batches, explode
-    shape) is identical on all paths."""
+    APNG, animated-GIF, and animated-WebP payloads take REAL codec
+    paths: ``decode_apng`` walks the acTL/fcTL/fdAT chunk stream,
+    ``gifcodec.decode_gif`` LZW-decodes every image block, and
+    ``webpcodec.decode_webp_anim`` walks VP8X/ANMF chunks decoding each
+    lossless VP8L frame (alpha dropped for the RGB frame-byte
+    contract); each sampled frame's payload is its decoded raw pixel
+    bytes (h×w×ch, row-major). True video containers (mp4/webm) still
+    need external codecs absent from this environment, so they keep
+    the documented byte-slice stub — the Spark-side plumbing (schema,
+    Arrow batches, explode shape) is identical on all paths."""
     import pandas as pd
 
     from .gifcodec import decode_gif, is_animated_gif
+    from .webpcodec import decode_webp_anim, is_animated_webp
 
     schema = f"{id_col} long, frame_idx int, frame binary"
 
@@ -428,6 +431,8 @@ def sample_frames(
                     decoded = decode_apng(payload)
                 elif is_animated_gif(payload):
                     decoded = decode_gif(payload)
+                elif is_animated_webp(payload):
+                    decoded = [f[..., :3] for f in decode_webp_anim(payload)]
                 if decoded is not None:
                     for fi, src in enumerate(range(0, len(decoded), every_n)):
                         if fi >= max_frames:

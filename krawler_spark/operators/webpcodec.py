@@ -738,3 +738,109 @@ def encode_webp_lossless(arr) -> bytes:
 def is_webp(payload: bytes) -> bool:
     b = bytes(payload or b"")
     return len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WEBP"
+
+
+# --------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM + ANMF, lossless frames)
+# --------------------------------------------------------------------------
+
+
+def _chunks(b: bytes, start: int = 12):
+    pos = start
+    while pos + 8 <= len(b):
+        tag = b[pos:pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        yield tag, b[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def is_animated_webp(payload: bytes) -> bool:
+    b = bytes(payload or b"")
+    if not is_webp(b):
+        return False
+    for tag, body in _chunks(b):
+        if tag == b"VP8X":
+            return len(body) >= 1 and bool(body[0] & 0x02)
+    return False
+
+
+def encode_webp_anim(frames, duration_ms: int = 100, loop: int = 0) -> bytes:
+    """Assemble an animated WebP: VP8X (ANIM flag) + ANIM + one ANMF
+    per frame, each a full-canvas lossless (VP8L) frame with no-blend /
+    keep disposal — mirroring the APNG/GIF fixture encoders."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("no frames")
+    h, w = np.asarray(frames[0]).shape[:2]
+    body = bytearray()
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (tag + struct.pack("<I", len(payload)) + payload +
+                (b"\x00" if len(payload) & 1 else b""))
+
+    flags = 0x02  # animation
+    vp8x = struct.pack("<B3s", flags, b"\x00" * 3)
+    vp8x += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    body += chunk(b"VP8X", vp8x)
+    body += chunk(b"ANIM", struct.pack("<IH", 0, loop))
+    for fr in frames:
+        a = np.asarray(fr, dtype=np.uint8)
+        if a.shape[:2] != (h, w):
+            raise ValueError("all frames must share the canvas size")
+        still = encode_webp_lossless(a)
+        # the frame data is the still's chunk stream (here: one VP8L)
+        (vp8l_size,) = struct.unpack("<I", still[16:20])
+        frame_chunks = still[12:12 + 8 + vp8l_size + (vp8l_size & 1)]
+        anmf = ((0).to_bytes(3, "little") + (0).to_bytes(3, "little") +
+                (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little") +
+                int(duration_ms).to_bytes(3, "little") +
+                bytes([0x02]) +  # no-blend, keep (dispose-to-none)
+                frame_chunks)
+        body += chunk(b"ANMF", anmf)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)
+
+
+def decode_webp_anim(payload: bytes):
+    """Decode an animated WebP's frames to (h, w, 4) uint8 RGBA arrays.
+    Full-canvas no-blend lossless frames decode exactly; sub-canvas
+    placement, alpha blending, and dispose-to-background compositing
+    raise NotImplementedError (the sampling pipeline treats those as
+    decode failures rather than faking pixels); lossy (VP8) frames
+    raise inside decode_vp8l dispatch."""
+    b = bytes(payload or b"")
+    if not is_animated_webp(b):
+        raise ValueError("not an animated WebP")
+    frames = []
+    canvas = None
+    for tag, body in _chunks(b):
+        if tag == b"VP8X":
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch_ = int.from_bytes(body[7:10], "little") + 1
+            canvas = (cw, ch_)
+        elif tag == b"ANMF":
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            fflags = body[15]
+            if (fx, fy) != (0, 0) or canvas is None or (fw, fh) != canvas:
+                raise NotImplementedError("sub-canvas WebP frames")
+            if not fflags & 0x02:
+                raise NotImplementedError("alpha-blended WebP frames")
+            if fflags & 0x01:
+                raise NotImplementedError("dispose-to-background WebP frames")
+            sub = bytes(body[16:])
+            got = None
+            for stag, sbody in _chunks(b"RIFF\x00\x00\x00\x00WEBP" + sub):
+                if stag == b"VP8L":
+                    got = decode_vp8l(sbody)
+                    break
+                if stag == b"VP8 ":
+                    raise NotImplementedError("lossy WebP frame")
+            if got is None:
+                raise ValueError("ANMF without image data")
+            frames.append(got)
+    if not frames:
+        raise ValueError("animated WebP with no frames")
+    return frames

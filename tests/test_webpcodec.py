@@ -153,6 +153,42 @@ def test_plane_code_table_matches_libwebp():
     assert bytes(derived) == _PLANE_CODES
 
 
+def test_animated_webp_roundtrip():
+    from krawler_spark.operators.webpcodec import (
+        decode_webp_anim, encode_webp_anim, is_animated_webp)
+
+    rng = np.random.default_rng(13)
+    frames = [rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+              for _ in range(5)]
+    anim = encode_webp_anim(frames, duration_ms=40)
+    assert is_webp(anim) and is_animated_webp(anim)
+    assert not is_animated_webp(encode_webp_lossless(frames[0]))
+    out = decode_webp_anim(anim)
+    assert len(out) == 5
+    for exp, got in zip(frames, out):
+        assert (got[..., :3] == exp).all() and (got[..., 3] == 255).all()
+    with pytest.raises(ValueError):
+        decode_webp_anim(encode_webp_lossless(frames[0]))
+
+
+def test_sample_frames_animated_webp(spark):
+    from krawler_spark.operators.multimodal import sample_frames
+    from krawler_spark.operators.webpcodec import encode_webp_anim
+
+    rng = np.random.default_rng(17)
+    frames = [rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+              for _ in range(6)]
+    payload = encode_webp_anim(frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary")
+    rows = sorted(
+        sample_frames(df, every_n=2, max_frames=4).collect(),
+        key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    for r, src in zip(rows, (0, 2, 4)):
+        assert bytes(r.frame) == frames[src].tobytes()
+
+
 def test_decode_image_dispatch():
     from krawler_spark.operators.multimodal import decode_image
 
