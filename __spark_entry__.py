@@ -617,6 +617,52 @@ def q_multimodal_webp_frames(spark, sf_dir):
     )
 
 
+def q_multimodal_mp4_samples(spark, sf_dir):
+    """REAL MP4 container sampling: an 8-sample single-video-track MP4
+    is assembled from each doc's text bytes in-task
+    (``isobmff.build_mp4``; sample k = 24+k bytes starting at k*24,
+    cyclic; 3-sample chunks so the stsc run-length table is
+    non-trivial), then ``sample_frames`` resolves moov/stbl
+    (stsc × stsz × stco) to absolute byte ranges and emits every 2nd
+    sample's ACTUAL bytes. The oracle recomputes those bytes straight
+    from the text — a true container round-trip; only pixel decode of
+    the samples stays out of scope (needs a video codec)."""
+    from krawler_spark.operators.multimodal import sample_frames
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+
+    def _mk(batches):
+        import pandas as pd
+
+        from krawler_spark.operators.isobmff import build_mp4 as _enc
+
+        for pdf in batches:
+            ids, pays = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                data = (t or "").encode("utf-8") or b"x"
+                samples = [
+                    bytes(data[(k * 24 + j) % len(data)] for j in range(24 + k))
+                    for k in range(8)
+                ]
+                ids.append(int(i))
+                pays.append(_enc(samples, samples_per_chunk=3))
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    mp4 = d.mapInPandas(_mk, schema="doc_id long, payload binary")
+    frames = sample_frames(mp4, every_n=2, max_frames=4)
+
+    def _csv(batches):
+        for pdf in batches:
+            pdf = pdf.assign(
+                pix_str=[",".join(str(x) for x in bytes(fr)) for fr in pdf["frame"]]
+            )
+            yield pdf[["doc_id", "frame_idx", "pix_str"]]
+
+    return frames.mapInPandas(
+        _csv, schema="doc_id long, frame_idx int, pix_str string"
+    )
+
+
 def q_multimodal_webp_decode(spark, sf_dir):
     """The REAL lossless-WebP decode path: the same 6×8 RGB pixel block
     as the PNG/GIF twins is ENCODED as a VP8L bitstream in-task
@@ -1075,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_webp_decode": q_multimodal_webp_decode,
         "multimodal_webp_frames": q_multimodal_webp_frames,
+        "multimodal_mp4_samples": q_multimodal_mp4_samples,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "events_window_agg": q_events_window_agg,
         "crawl_visited": q_crawl_visited,
@@ -1561,6 +1608,17 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_transform(range(72),
                        j -> ascii(substr(tx,
                            CAST((fi * 2 * 72 + j) % length(tx) AS INT) + 1, 1))),
+                       ',') AS pix_str
+            FROM f""",
+        "multimodal_mp4_samples": """
+            WITH t AS (
+              SELECT doc_id, coalesce(nullif(text, ''), 'x') AS tx
+              FROM documents WHERE doc_id < 200),
+            f AS (SELECT doc_id, tx, unnest(range(4)) AS fi FROM t)
+            SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                   array_to_string(list_transform(range(24 + fi * 2),
+                       j -> ascii(substr(tx,
+                           CAST((fi * 2 * 24 + j) % length(tx) AS INT) + 1, 1))),
                        ',') AS pix_str
             FROM f""",
         "events_window_agg": """

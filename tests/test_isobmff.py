@@ -1,0 +1,79 @@
+"""ISO-BMFF (MP4) container walk tests: build_mp4 writer twin →
+video_samples/extract_samples reader, chunk-run resolution, and the
+sample_frames integration (real sample bytes for mp4; damaged
+containers degrade to the byte-slice stub instead of failing the
+stage)."""
+
+import struct
+
+import pytest
+
+from krawler_spark.operators.isobmff import (
+    build_mp4,
+    extract_samples,
+    is_mp4,
+    video_samples,
+)
+
+
+def test_roundtrip_variable_sizes():
+    samples = [bytes([i]) * (5 + 3 * i) for i in range(9)]
+    mp4 = build_mp4(samples, samples_per_chunk=2)
+    assert is_mp4(mp4)
+    assert extract_samples(mp4) == samples
+
+
+def test_roundtrip_single_chunk_and_uniform():
+    samples = [b"abcd"] * 5
+    assert extract_samples(build_mp4(samples, samples_per_chunk=100)) == samples
+    assert extract_samples(build_mp4(samples, samples_per_chunk=1)) == samples
+
+
+def test_stsc_runs_resolved():
+    # 7 samples, 3 per chunk -> chunks of 3,3,1 -> two stsc runs
+    samples = [bytes([i]) * 4 for i in range(7)]
+    mp4 = build_mp4(samples, samples_per_chunk=3)
+    offs = video_samples(mp4)
+    assert len(offs) == 7
+    assert extract_samples(mp4) == samples
+
+
+def test_non_mp4_and_damaged_raise():
+    with pytest.raises(ValueError):
+        video_samples(b"plainly not a container")
+    samples = [b"xyz"] * 4
+    mp4 = bytearray(build_mp4(samples))
+    # corrupt the moov size field -> bad box size
+    idx = bytes(mp4).find(b"moov") - 4
+    mp4[idx:idx + 4] = struct.pack(">I", 0xFFFFFF)
+    with pytest.raises(ValueError):
+        video_samples(bytes(mp4))
+
+
+def test_sample_frames_mp4_real_and_stub(spark):
+    from krawler_spark.operators.multimodal import sample_frames
+
+    samples = [bytes([i]) * (6 + i) for i in range(8)]
+    good = build_mp4(samples, samples_per_chunk=3)
+    damaged = bytearray(good)
+    idx = bytes(damaged).find(b"moov") - 4
+    damaged[idx:idx + 4] = struct.pack(">I", 0xFFFFFF)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytes(damaged))],
+        "doc_id long, payload binary")
+    rows = sample_frames(df, every_n=2, max_frames=4).collect()
+    got1 = {r.frame_idx: bytes(r.frame) for r in rows if r.doc_id == 1}
+    assert got1 == {fi: samples[fi * 2] for fi in range(4)}
+    # damaged container fell back to the byte-slice stub (16-byte slices)
+    got2 = [bytes(r.frame) for r in rows if r.doc_id == 2]
+    assert got2 and all(len(f) <= 16 for f in got2)
+
+
+def test_sniff_mp4(spark):
+    from krawler_spark.operators.multimodal import sniff_media_type
+
+    df = spark.createDataFrame(
+        [(1, bytearray(build_mp4([b"zz"]))), (2, bytearray(b"textual data"))],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r.media_type for r in sniff_media_type(df).collect()}
+    assert got == {1: "video/mp4", 2: "application/octet-stream"}
