@@ -122,12 +122,21 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2,
                     help="repetitions per config; min is kept (the host "
                     "is shared — noise waves only ever slow a run down)")
+    ap.add_argument("--require-quiet", type=float, default=0.0,
+                    help="abort (exit 3, nothing recorded) unless the "
+                    "in-run memory-bandwidth scaling ceiling is at least "
+                    "this — a window measured during a co-tenant wave "
+                    "measures the neighbours, not the engine")
     args = ap.parse_args()
 
     calib = cpu_calibration(args.n)
     print(f"machine calibration (cpu): {json.dumps(calib)}", flush=True)
     mem = mem_calibration(args.n)
     print(f"machine calibration (memory bandwidth): {json.dumps(mem)}", flush=True)
+    if args.require_quiet and mem["ceiling"] < args.require_quiet:
+        print(f"host not quiet (bw ceiling {mem['ceiling']} < "
+              f"{args.require_quiet}) — aborting unrecorded", flush=True)
+        raise SystemExit(3)
 
     # interleave configs across reps so a noise wave hits both equally
     runs: dict[int, list] = {args.n: [], args.n * 4: []}

@@ -61,29 +61,38 @@ def main() -> None:
 
     t_end = time.time() + args.max_hours * 3600
     recorded = 0
+    streak = 0  # consecutive quiet probes; waves are minutes-long, so
+    # require two before committing ~35 min of measurement to the window
     while time.time() < t_end and recorded < args.max_windows:
         if busy_with_own_work():
             print(f"{time.strftime('%H:%M:%S')} own work running — skip probe",
                   flush=True)
+            streak = 0
             time.sleep(60 * args.probe_minutes)
             continue
         mem = mem_calibration(args.n)
         quiet = (mem["ceiling"] >= args.min_ceiling
                  and mem["n4_gbs"] >= args.min_gbs)
+        streak = streak + 1 if quiet else 0
         print(f"{time.strftime('%H:%M:%S')} probe {json.dumps(mem)} "
-              f"quiet={quiet}", flush=True)
-        if not quiet:
-            time.sleep(60 * args.probe_minutes)
+              f"quiet={quiet} streak={streak}", flush=True)
+        if streak < 2:
+            time.sleep(60 * (1.0 if quiet else args.probe_minutes))
             continue
-        print("QUIET — launching scaling window", flush=True)
+        print("QUIET×2 — launching scaling window", flush=True)
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts", "bench_scaling.py"),
              "--hosts", str(args.hosts), "--pages", str(args.pages),
-             "--n", str(args.n), "--reps", str(args.reps)],
+             "--n", str(args.n), "--reps", str(args.reps),
+             "--require-quiet", str(args.min_ceiling * 0.9)],
             cwd=REPO)
+        streak = 0
         if r.returncode == 0:
             recorded += 1
             print(f"window recorded ({recorded}/{args.max_windows})", flush=True)
+        elif r.returncode == 3:
+            print("wave returned before the window started — unrecorded, "
+                  "re-arming", flush=True)
         else:
             print(f"bench_scaling failed rc={r.returncode}", flush=True)
             time.sleep(60 * args.probe_minutes)
