@@ -663,6 +663,41 @@ def q_multimodal_mp4_samples(spark, sf_dir):
     )
 
 
+def q_multimodal_wav_features(spark, sf_dir):
+    """REAL audio decode: a stereo PCM16 WAV is assembled from each
+    doc's text bytes in-task (sample value j = little-endian signed16
+    of text bytes 2j, 2j+1, cyclic; 64 frames × 2 channels), then
+    ``extract_audio_features`` parses the RIFF/WAVE container and
+    computes exact integer features (sum of squares, peak). The oracle
+    reconstructs the same signed samples from the text in SQL — a true
+    container + PCM round-trip with no floats to fuzz the hash."""
+    from krawler_spark.operators.multimodal import extract_audio_features
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+
+    def _mk(batches):
+        import numpy as np
+        import pandas as pd
+
+        from krawler_spark.operators.multimodal import encode_wav as _enc
+
+        for pdf in batches:
+            ids, pays = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                data = (t or "").encode("utf-8") or b"x"
+                raw = bytes(data[k % len(data)] for k in range(256))
+                samples = np.frombuffer(raw, dtype="<i2").reshape(64, 2)
+                ids.append(int(i))
+                pays.append(_enc(samples, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    wav = d.mapInPandas(_mk, schema="doc_id long, payload binary")
+    return extract_audio_features(wav).select(
+        "doc_id", "sample_rate", "channels", "n_samples", "sumsq", "peak",
+        "decode_ok",
+    )
+
+
 def q_multimodal_webp_decode(spark, sf_dir):
     """The REAL lossless-WebP decode path: the same 6×8 RGB pixel block
     as the PNG/GIF twins is ENCODED as a VP8L bitstream in-task
@@ -1122,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_webp_decode": q_multimodal_webp_decode,
         "multimodal_webp_frames": q_multimodal_webp_frames,
         "multimodal_mp4_samples": q_multimodal_mp4_samples,
+        "multimodal_wav_features": q_multimodal_wav_features,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "events_window_agg": q_events_window_agg,
         "crawl_visited": q_crawl_visited,
@@ -1621,6 +1657,29 @@ def oracle_sql() -> dict[str, str]:
                            CAST((fi * 2 * 24 + j) % length(tx) AS INT) + 1, 1))),
                        ',') AS pix_str
             FROM f""",
+        "multimodal_wav_features": """
+            WITH t AS (
+              SELECT doc_id, coalesce(nullif(text, ''), 'x') AS tx
+              FROM documents WHERE doc_id < 200),
+            v AS (
+              SELECT doc_id,
+                     list_transform(range(128), j ->
+                         CASE WHEN ascii(substr(tx, CAST((2*j) % length(tx) AS INT) + 1, 1))
+                                   + 256 * ascii(substr(tx, CAST((2*j + 1) % length(tx) AS INT) + 1, 1)) >= 32768
+                              THEN ascii(substr(tx, CAST((2*j) % length(tx) AS INT) + 1, 1))
+                                   + 256 * ascii(substr(tx, CAST((2*j + 1) % length(tx) AS INT) + 1, 1)) - 65536
+                              ELSE ascii(substr(tx, CAST((2*j) % length(tx) AS INT) + 1, 1))
+                                   + 256 * ascii(substr(tx, CAST((2*j + 1) % length(tx) AS INT) + 1, 1))
+                         END) AS s
+              FROM t)
+            SELECT doc_id, 8000 AS sample_rate, 2 AS channels,
+                   CAST(64 AS BIGINT) AS n_samples,
+                   CAST(list_reduce(list_transform(s, x -> CAST(x AS BIGINT) * x),
+                                    (a, b) -> a + b) AS BIGINT) AS sumsq,
+                   CAST(list_reduce(list_transform(s, x -> abs(x)),
+                                    (a, b) -> greatest(a, b)) AS INT) AS peak,
+                   TRUE AS decode_ok
+            FROM v""",
         "events_window_agg": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events,

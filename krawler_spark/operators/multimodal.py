@@ -362,6 +362,100 @@ def decode_image(payload: bytes, deterministic_fake: bool = False):
     return np.frombuffer(bytes.fromhex(m1 + m2 + m3), dtype=np.uint8).reshape(4, 4, 3)
 
 
+def parse_wav(payload: bytes):
+    """Parse a RIFF/WAVE file to (sample_rate, channels, int16 samples)
+    — a REAL pure-stdlib PCM decode (audio's PNG: no codec needed, just
+    the container). Only integer PCM (format 1) at 8/16 bits is
+    accepted; compressed WAVE (float, ADPCM, mp3-in-wav) raises."""
+    import struct as _struct
+
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE byte stream")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        tag = b[pos:pos + 4]
+        (size,) = _struct.unpack("<I", b[pos + 4:pos + 8])
+        body = b[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAVE: missing fmt/data chunk")
+    audio_format, channels, rate = _struct.unpack("<HHI", fmt[:8])
+    bits = _struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1:
+        raise NotImplementedError(f"WAVE format {audio_format} (non-PCM)")
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+    else:
+        raise NotImplementedError(f"WAVE {bits}-bit PCM")
+    if channels < 1:
+        raise ValueError("WAVE: zero channels")
+    n = len(samples) - len(samples) % channels
+    return int(rate), int(channels), samples[:n].reshape(-1, channels)
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Writer twin: (n, ch) int16 -> PCM16 RIFF/WAVE bytes."""
+    import struct as _struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    ch = a.shape[1]
+    data = a.tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, ch, sample_rate,
+                       sample_rate * ch * 2, ch * 2, 16)
+    body = (b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt +
+            b"data" + _struct.pack("<I", len(data)) + data +
+            (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def extract_audio_features(
+    df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio feature extraction over mapInPandas: REAL PCM parse →
+    exact integer features (sum of squares instead of float RMS so the
+    oracle can match bit-for-bit). Non-PCM / damaged payloads record
+    decode_ok=false rather than failing the stage."""
+    import pandas as pd
+
+    schema = (f"{id_col} long, sample_rate int, channels int, n_samples long, "
+              "sumsq long, peak int, decode_ok boolean")
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    rate, ch, samples = parse_wav(payload)
+                    s = samples.astype(np.int64)
+                    rows.append((int(i), rate, ch, s.shape[0],
+                                 int((s * s).sum()),
+                                 int(np.abs(s).max(initial=0)), True))
+                except (NotImplementedError, ValueError):
+                    rows.append((int(i), 0, 0, 0, 0, 0, False))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "sample_rate", "channels", "n_samples", "sumsq",
+                "peak", "decode_ok"])
+
+    return df.select(id_col, bin_col).mapInPandas(_feat, schema=schema)
+
+
 def extract_features(
     df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id",
     deterministic_fake: bool = True,

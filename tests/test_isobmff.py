@@ -77,3 +77,41 @@ def test_sniff_mp4(spark):
         "doc_id long, payload binary")
     got = {r.doc_id: r.media_type for r in sniff_media_type(df).collect()}
     assert got == {1: "video/mp4", 2: "application/octet-stream"}
+
+
+def test_wav_roundtrip_and_features(spark):
+    import numpy as np
+
+    from krawler_spark.operators.multimodal import (
+        encode_wav, extract_audio_features, parse_wav)
+
+    rng = np.random.default_rng(23)
+    samples = rng.integers(-32768, 32768, size=(100, 2), dtype=np.int16)
+    wav = encode_wav(samples, sample_rate=44100)
+    rate, ch, got = parse_wav(wav)
+    assert (rate, ch) == (44100, 2) and (got == samples).all()
+    # 8-bit PCM path
+    import struct as st
+    fmt8 = st.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data8 = bytes([0, 128, 255, 200])
+    wav8 = (b"RIFF" + st.pack("<I", 4 + 24 + 8 + len(data8)) + b"WAVE" +
+            b"fmt " + st.pack("<I", len(fmt8)) + fmt8 +
+            b"data" + st.pack("<I", len(data8)) + data8)
+    rate8, ch8, s8 = parse_wav(wav8)
+    assert (rate8, ch8) == (8000, 1) and s8[0, 0] == -32768 and s8[1, 0] == 0
+    # non-PCM raises; features degrade instead of crashing
+    float_fmt = st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wavf = (b"RIFF" + st.pack("<I", 4 + 24 + 8) + b"WAVE" +
+            b"fmt " + st.pack("<I", len(float_fmt)) + float_fmt +
+            b"data" + st.pack("<I", 0))
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        parse_wav(wavf)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(wavf)), (3, bytearray(b"junk"))],
+        "doc_id long, payload binary")
+    rows = {r.doc_id: r for r in extract_audio_features(df).collect()}
+    s64 = samples.astype(np.int64)
+    assert rows[1].decode_ok and rows[1].sumsq == int((s64 * s64).sum())
+    assert rows[1].peak == int(np.abs(s64).max()) and rows[1].n_samples == 100
+    assert not rows[2].decode_ok and not rows[3].decode_ok
