@@ -153,6 +153,81 @@ def test_plane_code_table_matches_libwebp():
     assert bytes(derived) == _PLANE_CODES
 
 
+def _craft_transform_stream(w, h, transform, residuals):
+    """Hand-assemble a VP8L stream with exactly one transform so each
+    predictor mode / color-transform multiplier gets direct coverage
+    (libwebp's encoder only ever picks its favourites)."""
+    import struct
+
+    import numpy as np
+
+    from krawler_spark.operators.webpcodec import (
+        _BitWriter, _write_channel_code)
+
+    bw = _BitWriter()
+    bw.write_bits(0x2F, 8)
+    bw.write_bits(w - 1, 14)
+    bw.write_bits(h - 1, 14)
+    bw.write_bits(0, 1)
+    bw.write_bits(0, 3)
+    bw.write_bits(1, 1)
+    kind, val = transform
+    bw.write_bits(0 if kind == "pred" else 1, 2)
+    bw.write_bits(3 - 2, 3)  # bits=3 -> 8px transform blocks
+    bw.write_bits(0, 1)  # sub-image: no cache
+    if kind == "pred":
+        subs = {"g": val, "r": 0, "b": 0}
+    else:
+        g2r, g2b, r2b = val  # stored as (b, g, r) channels
+        subs = {"g": g2b, "r": r2b, "b": g2r}
+    _write_channel_code(bw, {subs["g"]: 1}, 256 + 24)
+    _write_channel_code(bw, {subs["r"]: 1}, 256)
+    _write_channel_code(bw, {subs["b"]: 1}, 256)
+    _write_channel_code(bw, {255: 1}, 256)
+    _write_channel_code(bw, {0: 1}, 40)
+    # all-single-symbol codes: the sub-image pixels consume zero bits
+    bw.write_bits(0, 1)  # end transforms
+    bw.write_bits(0, 1)  # no cache
+    bw.write_bits(0, 1)  # no meta
+
+    chans = {k: residuals[..., i] for i, k in enumerate("argb")}
+
+    def freqs(x):
+        u, c = np.unique(x, return_counts=True)
+        return dict(zip(u.tolist(), c.tolist()))
+
+    gc = _write_channel_code(bw, freqs(chans["g"]), 256 + 24)
+    rc = _write_channel_code(bw, freqs(chans["r"]), 256)
+    bc = _write_channel_code(bw, freqs(chans["b"]), 256)
+    ac = _write_channel_code(bw, freqs(chans["a"]), 256)
+    _write_channel_code(bw, {0: 1}, 40)
+    for i in range(h):
+        for j in range(w):
+            for cm, v in ((gc, chans["g"][i, j]), (rc, chans["r"][i, j]),
+                          (bc, chans["b"][i, j]), (ac, chans["a"][i, j])):
+                code, ln = cm[int(v)]
+                if ln:
+                    bw.write_code(code, ln)
+    body = bw.bytes()
+    pad = body + (b"\x00" if len(body) & 1 else b"")
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(pad)) + b"WEBP" +
+            b"VP8L" + struct.pack("<I", len(body)) + pad)
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="libwebp not present")
+def test_every_predictor_mode_and_color_transform_vs_libwebp():
+    lw = _libwebp()
+    rng = np.random.default_rng(31)
+    for mode in range(14):
+        res = rng.integers(0, 256, size=(24, 33, 4), dtype=np.uint8)
+        data = _craft_transform_stream(33, 24, ("pred", mode), res)
+        assert (decode_webp(data) == _lw_decode(lw, data)).all(), f"mode {mode}"
+    for mults in [(0, 0, 0), (255, 255, 255), (127, 128, 1), (37, 201, 99)]:
+        res = rng.integers(0, 256, size=(16, 19, 4), dtype=np.uint8)
+        data = _craft_transform_stream(19, 16, ("color", mults), res)
+        assert (decode_webp(data) == _lw_decode(lw, data)).all(), f"color {mults}"
+
+
 def test_animated_webp_roundtrip():
     from krawler_spark.operators.webpcodec import (
         decode_webp_anim, encode_webp_anim, is_animated_webp)
