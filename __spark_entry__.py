@@ -698,6 +698,39 @@ def q_multimodal_wav_features(spark, sf_dir):
     )
 
 
+def q_multimodal_mp3_walk(spark, sf_dir):
+    """REAL MPEG-audio container walk: a 6-frame Layer-III stream with
+    text-derived VBR bitrate indexes and a text-derived ID3v2 tag is
+    assembled in-task (``mpegaudio.build_mp3``), then ``mp3_frames``
+    sync-scans headers and must land every frame's (offset, size)
+    exactly where the spec's 144·bitrate/sample_rate formula puts it —
+    the oracle recomputes both from the text in SQL. Payload DSP decode
+    stays honestly out of scope (needs an audio codec)."""
+    from krawler_spark.operators.mpegaudio import mp3_frames
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+
+    def _mk(batches):
+        import pandas as pd
+
+        from krawler_spark.operators.mpegaudio import build_mp3 as _enc
+
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                data = (t or "").encode("utf-8") or b"x"
+                idxs = [1 + (data[k % len(data)] % 14) for k in range(6)]
+                mp3 = _enc(idxs, id3_payload=data[:10])
+                for fi, (off, size, _spf, _rate) in enumerate(mp3_frames(mp3)):
+                    rows.append((int(i), fi, off, size))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "offset", "size"])
+
+    return d.mapInPandas(
+        _mk, schema="doc_id long, frame_idx int, offset long, size long"
+    )
+
+
 def q_multimodal_webp_decode(spark, sf_dir):
     """The REAL lossless-WebP decode path: the same 6×8 RGB pixel block
     as the PNG/GIF twins is ENCODED as a VP8L bitstream in-task
@@ -1158,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_webp_frames": q_multimodal_webp_frames,
         "multimodal_mp4_samples": q_multimodal_mp4_samples,
         "multimodal_wav_features": q_multimodal_wav_features,
+        "multimodal_mp3_walk": q_multimodal_mp3_walk,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "events_window_agg": q_events_window_agg,
         "crawl_visited": q_crawl_visited,
@@ -1680,6 +1714,24 @@ def oracle_sql() -> dict[str, str]:
                                     (a, b) -> greatest(a, b)) AS INT) AS peak,
                    TRUE AS decode_ok
             FROM v""",
+        "multimodal_mp3_walk": """
+            WITH t AS (
+              SELECT doc_id, coalesce(nullif(text, ''), 'x') AS tx
+              FROM documents WHERE doc_id < 200),
+            f AS (SELECT doc_id, tx, unnest(range(6)) AS fi FROM t),
+            sz AS (
+              SELECT doc_id, tx, fi,
+                     144 * ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+                         2 + (ascii(substr(tx, CAST(fi % length(tx) AS INT) + 1, 1)) % 14)
+                     ] * 1000 // 44100 AS size
+              FROM f)
+            SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                   CAST(10 + least(length(tx), 10)
+                        + coalesce(sum(size) OVER (PARTITION BY doc_id ORDER BY fi
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS "offset",
+                   CAST(size AS BIGINT) AS size
+            FROM sz""",
         "events_window_agg": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events,
