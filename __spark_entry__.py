@@ -731,6 +731,50 @@ def q_multimodal_mp3_walk(spark, sf_dir):
     )
 
 
+def q_multimodal_webm_blocks(spark, sf_dir):
+    """REAL WebM (EBML) container walk: an 8-frame single-video-track
+    Matroska document is assembled from each doc's text bytes in-task
+    (``matroska.build_webm``; frame k = 16+k bytes starting at k*16,
+    cyclic), then ``sample_frames`` walks the EBML tree to the video
+    track's SimpleBlocks and emits every 2nd block's ACTUAL coded
+    bytes. The oracle recomputes those bytes straight from the text —
+    the WebM twin of ``multimodal_mp4_samples``."""
+    from krawler_spark.operators.multimodal import sample_frames
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+
+    def _mk(batches):
+        import pandas as pd
+
+        from krawler_spark.operators.matroska import build_webm as _enc
+
+        for pdf in batches:
+            ids, pays = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                data = (t or "").encode("utf-8") or b"x"
+                frames = [
+                    bytes(data[(k * 16 + j) % len(data)] for j in range(16 + k))
+                    for k in range(8)
+                ]
+                ids.append(int(i))
+                pays.append(_enc(frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    webm = d.mapInPandas(_mk, schema="doc_id long, payload binary")
+    frames = sample_frames(webm, every_n=2, max_frames=4)
+
+    def _csv(batches):
+        for pdf in batches:
+            pdf = pdf.assign(
+                pix_str=[",".join(str(x) for x in bytes(fr)) for fr in pdf["frame"]]
+            )
+            yield pdf[["doc_id", "frame_idx", "pix_str"]]
+
+    return frames.mapInPandas(
+        _csv, schema="doc_id long, frame_idx int, pix_str string"
+    )
+
+
 def q_multimodal_webp_decode(spark, sf_dir):
     """The REAL lossless-WebP decode path: the same 6×8 RGB pixel block
     as the PNG/GIF twins is ENCODED as a VP8L bitstream in-task
@@ -1192,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp4_samples": q_multimodal_mp4_samples,
         "multimodal_wav_features": q_multimodal_wav_features,
         "multimodal_mp3_walk": q_multimodal_mp3_walk,
+        "multimodal_webm_blocks": q_multimodal_webm_blocks,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "events_window_agg": q_events_window_agg,
         "crawl_visited": q_crawl_visited,
@@ -1732,6 +1777,17 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS "offset",
                    CAST(size AS BIGINT) AS size
             FROM sz""",
+        "multimodal_webm_blocks": """
+            WITH t AS (
+              SELECT doc_id, coalesce(nullif(text, ''), 'x') AS tx
+              FROM documents WHERE doc_id < 200),
+            f AS (SELECT doc_id, tx, unnest(range(4)) AS fi FROM t)
+            SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                   array_to_string(list_transform(range(16 + fi * 2),
+                       j -> ascii(substr(tx,
+                           CAST((fi * 2 * 16 + j) % length(tx) AS INT) + 1, 1))),
+                       ',') AS pix_str
+            FROM f""",
         "events_window_agg": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events,

@@ -34,6 +34,7 @@ MAGIC = {
     b"\xff\xd8\xff": "image/jpeg",
     b"GIF8": "image/gif",
     b"ID3": "audio/mp3",
+    b"\x1a\x45\xdf\xa3": "video/webm",  # EBML (webm/mkv)
 }
 
 # RIFF is a container, not a format: bytes 8-12 carry the actual type
@@ -508,19 +509,21 @@ def sample_frames(
     ``webpcodec.decode_webp_anim`` walks VP8X/ANMF chunks decoding each
     lossless VP8L frame (alpha dropped for the RGB frame-byte
     contract); each sampled frame's payload is its decoded raw pixel
-    bytes (h×w×ch, row-major). MP4 payloads take the REAL container
-    path too: ``isobmff.video_samples`` resolves the moov/stbl sample
-    tables (stsc × stsz × stco) to absolute byte ranges and each
-    sampled "frame" is that sample's actual coded bytes — only the
-    pixel DECODE of those samples still needs an external video codec
-    (absent here), so it stays honestly out of scope. Unrecognized
-    payloads (webm, damaged files) keep the documented byte-slice
-    stub — the Spark-side plumbing (schema, Arrow batches, explode
-    shape) is identical on all paths."""
+    bytes (h×w×ch, row-major). MP4 and WebM payloads take REAL
+    container paths too: ``isobmff.video_samples`` resolves the
+    moov/stbl sample tables (stsc × stsz × stco) and
+    ``matroska.video_blocks`` walks the EBML tree to the video track's
+    SimpleBlocks — each sampled "frame" is that sample/block's actual
+    coded bytes; only the pixel DECODE of those bytes still needs an
+    external video codec (absent here), so it stays honestly out of
+    scope. Unrecognized or damaged payloads keep the documented
+    byte-slice stub — the Spark-side plumbing (schema, Arrow batches,
+    explode shape) is identical on all paths."""
     import pandas as pd
 
     from .gifcodec import decode_gif, is_animated_gif
     from .isobmff import extract_samples, is_mp4
+    from .matroska import extract_blocks, is_webm
     from .webpcodec import decode_webp_anim, is_animated_webp
 
     schema = f"{id_col} long, frame_idx int, frame binary"
@@ -537,10 +540,11 @@ def sample_frames(
                     decoded = decode_gif(payload)
                 elif is_animated_webp(payload):
                     decoded = [f[..., :3] for f in decode_webp_anim(payload)]
-                elif is_mp4(payload):
+                elif is_mp4(payload) or is_webm(payload):
                     try:
-                        raw = extract_samples(payload)
-                    except ValueError:
+                        raw = (extract_samples(payload) if is_mp4(payload)
+                               else extract_blocks(payload))
+                    except (ValueError, NotImplementedError):
                         raw = None  # damaged container -> byte-slice stub
                     if raw is not None:
                         for fi, src in enumerate(range(0, len(raw), every_n)):
