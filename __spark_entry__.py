@@ -775,6 +775,47 @@ def q_multimodal_webm_blocks(spark, sf_dir):
     )
 
 
+def q_multimodal_avif_info(spark, sf_dir):
+    """REAL AVIF/HEIF container walk: a minimal AVIF is assembled from
+    each doc's text bytes in-task (``isobmff.build_avif``; coded
+    payload = 40 cyclic text bytes, pixel dimensions derived from the
+    first two text bytes), then ``avif_info`` resolves the meta-box
+    item model — pitm primary item, infe item type, ispe dimensions,
+    iloc extents — and the coded bytes are sliced back out. The oracle
+    recomputes everything from the text; AV1 pixel decode of the
+    extents stays honestly out of scope (needs libaom/libdav1d)."""
+    from krawler_spark.operators.isobmff import avif_info, extract_avif_item
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+
+    def _mk(batches):
+        import pandas as pd
+
+        from krawler_spark.operators.isobmff import build_avif as _enc
+
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                data = (t or "").encode("utf-8") or b"x"
+                payload = bytes(data[k % len(data)] for k in range(40))
+                w = 1 + data[0]
+                h = 1 + data[1 % len(data)]
+                av = _enc(payload, w, h)
+                info = avif_info(av)
+                rows.append((
+                    int(i), info["item_type"], info["width"], info["height"],
+                    ",".join(str(x) for x in extract_avif_item(av)),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "item_type", "width", "height", "coded_str"])
+
+    return d.mapInPandas(
+        _mk,
+        schema="doc_id long, item_type string, width int, height int, "
+               "coded_str string",
+    )
+
+
 def q_multimodal_webp_decode(spark, sf_dir):
     """The REAL lossless-WebP decode path: the same 6×8 RGB pixel block
     as the PNG/GIF twins is ENCODED as a VP8L bitstream in-task
@@ -1237,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_features": q_multimodal_wav_features,
         "multimodal_mp3_walk": q_multimodal_mp3_walk,
         "multimodal_webm_blocks": q_multimodal_webm_blocks,
+        "multimodal_avif_info": q_multimodal_avif_info,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "events_window_agg": q_events_window_agg,
         "crawl_visited": q_crawl_visited,
@@ -1788,6 +1830,17 @@ def oracle_sql() -> dict[str, str]:
                            CAST((fi * 2 * 16 + j) % length(tx) AS INT) + 1, 1))),
                        ',') AS pix_str
             FROM f""",
+        "multimodal_avif_info": """
+            WITH t AS (
+              SELECT doc_id, coalesce(nullif(text, ''), 'x') AS tx
+              FROM documents WHERE doc_id < 200)
+            SELECT doc_id, 'av01' AS item_type,
+                   1 + ascii(substr(tx, 1, 1)) AS width,
+                   1 + ascii(substr(tx, CAST(1 % length(tx) AS INT) + 1, 1)) AS height,
+                   array_to_string(list_transform(range(40),
+                       k -> ascii(substr(tx, CAST(k % length(tx) AS INT) + 1, 1))),
+                       ',') AS coded_str
+            FROM t""",
         "events_window_agg": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events,

@@ -147,6 +147,158 @@ def extract_samples(payload: bytes) -> List[bytes]:
 
 
 # --------------------------------------------------------------------------
+# AVIF / HEIF still images (meta-box item model)
+# --------------------------------------------------------------------------
+
+
+def is_avif(payload: bytes) -> bool:
+    b = bytes(payload or b"")
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return False
+    (size,) = struct.unpack(">I", b[:4])
+    brands = {b[8:12]} | {b[i:i + 4] for i in range(16, min(size, len(b)), 4)}
+    return b"avif" in brands or b"avis" in brands or b"heic" in brands
+
+
+def avif_info(payload: bytes) -> dict:
+    """Resolve an AVIF/HEIF still's primary item: its type, pixel
+    dimensions (ispe property — real metadata, no decode), and the
+    absolute byte extents of its coded data (iloc). AV1 pixel decode of
+    those extents genuinely needs libaom/libdav1d and stays honestly
+    out of scope."""
+    b = bytes(payload or b"")
+    if not is_avif(b):
+        raise ValueError("not an AVIF/HEIF byte stream")
+    meta = _find(b, 0, len(b), [b"meta"])
+    if meta is None:
+        raise ValueError("avif: no meta box")
+    ms, me = _full(b, meta[0]), meta[1]  # meta is a FullBox
+
+    primary = None
+    item_types = {}
+    extents = {}
+    width = height = None
+    for typ, s, e in _boxes(b, ms, me):
+        if typ == b"pitm":
+            ver = b[s]
+            p = _full(b, s)
+            primary = struct.unpack(
+                ">I" if ver else ">H", b[p:p + (4 if ver else 2)])[0]
+        elif typ == b"iinf":
+            ver = b[s]
+            p = _full(b, s)
+            n, p = (struct.unpack(">H", b[p:p + 2])[0], p + 2) if ver == 0 \
+                else (struct.unpack(">I", b[p:p + 4])[0], p + 4)
+            for ityp, is_, ie in _boxes(b, p, e):
+                if ityp != b"infe":
+                    continue
+                iver = b[is_]
+                q = _full(b, is_)
+                if iver >= 2:
+                    iid = struct.unpack(
+                        ">I" if iver == 3 else ">H",
+                        b[q:q + (4 if iver == 3 else 2)])[0]
+                    q += 4 if iver == 3 else 2
+                    q += 2  # protection index
+                    item_types[iid] = b[q:q + 4]
+        elif typ == b"iloc":
+            ver = b[s]
+            p = _full(b, s)
+            sizes = struct.unpack(">H", b[p:p + 2])[0]
+            offset_size = (sizes >> 12) & 0xF
+            length_size = (sizes >> 8) & 0xF
+            base_size = (sizes >> 4) & 0xF
+            index_size = sizes & 0xF if ver in (1, 2) else 0
+            p += 2
+            if ver < 2:
+                count = struct.unpack(">H", b[p:p + 2])[0]
+                p += 2
+            else:
+                count = struct.unpack(">I", b[p:p + 4])[0]
+                p += 4
+
+            def read_n(pp, n):
+                return (0, pp) if n == 0 else (
+                    int.from_bytes(b[pp:pp + n], "big"), pp + n)
+
+            for _ in range(count):
+                if ver < 2:
+                    iid = struct.unpack(">H", b[p:p + 2])[0]
+                    p += 2
+                else:
+                    iid = struct.unpack(">I", b[p:p + 4])[0]
+                    p += 4
+                method = 0
+                if ver in (1, 2):
+                    method = struct.unpack(">H", b[p:p + 2])[0] & 0xF
+                    p += 2
+                p += 2  # data_reference_index
+                base, p = read_n(p, base_size)
+                (ecount,) = struct.unpack(">H", b[p:p + 2])
+                p += 2
+                exts = []
+                for _e in range(ecount):
+                    _idx, p = read_n(p, index_size)
+                    off, p = read_n(p, offset_size)
+                    ln, p = read_n(p, length_size)
+                    exts.append((base + off, ln))
+                if method == 0:
+                    extents[iid] = exts
+        elif typ == b"iprp":
+            for ptyp, ps, pe in _boxes(b, s, e):
+                if ptyp == b"ipco":
+                    for ctyp, cs, ce in _boxes(b, ps, pe):
+                        if ctyp == b"ispe" and width is None:
+                            q = _full(b, cs)
+                            width, height = struct.unpack(">II", b[q:q + 8])
+    if primary is None or primary not in extents:
+        raise ValueError("avif: primary item unresolved")
+    for off, ln in extents[primary]:
+        if off + ln > len(b):
+            raise ValueError("avif: extent outside file")
+    return {
+        "primary_item": primary,
+        "item_type": item_types.get(primary, b"").decode("ascii", "replace"),
+        "width": width,
+        "height": height,
+        "extents": extents[primary],
+    }
+
+
+def extract_avif_item(payload: bytes) -> bytes:
+    b = bytes(payload or b"")
+    info = avif_info(b)
+    return b"".join(b[o:o + ln] for o, ln in info["extents"])
+
+
+def build_avif(av1_payload: bytes, width: int, height: int) -> bytes:
+    """Writer twin: minimal AVIF container around a coded payload."""
+    ftyp = _box(b"ftyp", b"avif" + struct.pack(">I", 0) + b"avifmif1")
+    hdlr = _fullbox(b"hdlr", struct.pack(">I", 0) + b"pict" + b"\x00" * 13)
+    pitm = _fullbox(b"pitm", struct.pack(">H", 1))
+    infe = _fullbox(b"infe", struct.pack(">HH", 1, 0) + b"av01" + b"\x00",
+                    version=2)
+    iinf = _fullbox(b"iinf", struct.pack(">H", 1) + infe)
+    ispe = _fullbox(b"ispe", struct.pack(">II", width, height))
+    ipco = _box(b"ipco", ispe)
+    ipma = _fullbox(b"ipma", struct.pack(">I", 1) +
+                    struct.pack(">HB", 1, 1) + bytes([0x81]))
+    iprp = _box(b"iprp", ipco + ipma)
+    # iloc with 4-byte offsets/lengths; offset patched after sizing
+    def iloc_with(offset: int) -> bytes:
+        return _fullbox(b"iloc", struct.pack(">H", 0x4400) +
+                        struct.pack(">H", 1) +
+                        struct.pack(">HH", 1, 0) +
+                        struct.pack(">H", 1) +
+                        struct.pack(">II", offset, len(av1_payload)))
+    meta_for = lambda off: _fullbox(  # noqa: E731
+        b"meta", hdlr + pitm + iinf + iprp + iloc_with(off))
+    probe = ftyp + meta_for(0)
+    mdat_off = len(probe) + 8
+    return ftyp + meta_for(mdat_off) + _box(b"mdat", av1_payload)
+
+
+# --------------------------------------------------------------------------
 # writer twin (tests / oracle fixtures)
 # --------------------------------------------------------------------------
 

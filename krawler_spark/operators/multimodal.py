@@ -59,10 +59,17 @@ def sniff_media_type(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     expr = F.when(
         F.hex(F.substring(b, 1, 4)) == F.lit(b"RIFF".hex().upper()), riff
     ).otherwise(expr)
-    # ISO-BMFF: any box size, "ftyp" at bytes 5-8
+    # ISO-BMFF: any box size, "ftyp" at bytes 5-8; the major brand at
+    # bytes 9-12 separates HEIF-family stills from movie files
+    brand = F.lit("video/mp4")
+    for fourcc, mtype in ((b"avif", "image/avif"), (b"avis", "image/avif"),
+                          (b"heic", "image/heif")):
+        brand = F.when(
+            F.hex(F.substring(b, 9, 4)) == F.lit(fourcc.hex().upper()),
+            F.lit(mtype),
+        ).otherwise(brand)
     expr = F.when(
-        F.hex(F.substring(b, 5, 4)) == F.lit(b"ftyp".hex().upper()),
-        F.lit("video/mp4"),
+        F.hex(F.substring(b, 5, 4)) == F.lit(b"ftyp".hex().upper()), brand
     ).otherwise(expr)
     return df.withColumn("media_type", expr).withColumn(
         "n_bytes", F.octet_length(b).cast("long")

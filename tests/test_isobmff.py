@@ -115,3 +115,36 @@ def test_wav_roundtrip_and_features(spark):
     assert rows[1].decode_ok and rows[1].sumsq == int((s64 * s64).sum())
     assert rows[1].peak == int(np.abs(s64).max()) and rows[1].n_samples == 100
     assert not rows[2].decode_ok and not rows[3].decode_ok
+
+
+def test_avif_roundtrip_and_errors():
+    from krawler_spark.operators.isobmff import (
+        avif_info, build_avif, extract_avif_item, is_avif)
+
+    payload = b"fake-av1-coded-bytes-" * 7
+    av = build_avif(payload, 320, 200)
+    assert is_avif(av) and not is_avif(build_mp4([b"zz"]))
+    info = avif_info(av)
+    assert info["item_type"] == "av01"
+    assert (info["width"], info["height"]) == (320, 200)
+    assert extract_avif_item(av) == payload
+    with pytest.raises(ValueError):
+        avif_info(build_mp4([b"zz"]))  # plain movie: no meta box
+    # extent pointing outside the file must be rejected
+    truncated = av[:-10]
+    with pytest.raises(ValueError):
+        avif_info(truncated)
+
+
+def test_sniff_heif_brands(spark):
+    from krawler_spark.operators.isobmff import build_avif
+    from krawler_spark.operators.multimodal import sniff_media_type
+
+    av = build_avif(b"x", 1, 1)
+    heic = bytearray(av)
+    heic[8:12] = b"heic"
+    df = spark.createDataFrame(
+        [(1, bytearray(av)), (2, bytes(heic)), (3, bytearray(build_mp4([b"z"])))],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r.media_type for r in sniff_media_type(df).collect()}
+    assert got == {1: "image/avif", 2: "image/heif", 3: "video/mp4"}
