@@ -2,9 +2,10 @@
 
 The Spark-side mechanics (schema, partition-friendly batch shapes,
 Arrow-batched UDF signatures) are real and tested. PNG (incl. APNG
-frame streams), GIF (incl. animated, via ``gifcodec``), baseline
-JPEG (via ``jpegcodec``: Huffman + dequant + IDCT, 4:2:0/4:2:2/4:4:4,
-restart markers), and lossless WebP (via ``webpcodec``: full VP8L —
+frame streams), GIF (incl. animated, via ``gifcodec``), JPEG (via
+``jpegcodec``: baseline AND progressive SOF2, Huffman + dequant +
+IDCT, 4:2:0/4:2:2/4:4:4 with triangle chroma upsampling, restart
+markers), and lossless WebP (via ``webpcodec``: full VP8L —
 transforms, color cache, LZ77, meta-Huffman; cross-validated bit-exact
 against libwebp) decode NATIVELY with pure-stdlib codecs; only
 lossy-VP8/AV1-family formats (lossy WebP, AVIF stills, mp4/webm video)

@@ -491,12 +491,19 @@ def test_jpeg_codec_roundtrip():
     assert d <= 16, d
     # coarse quant still decodes (lossy path)
     assert decode_jpeg(encode_jpeg(grad, quant=16)).shape == grad.shape
-    # honesty: progressive SOF2 refuses
+    # a baseline stream mislabeled as SOF2 is corrupt (progressive
+    # itself is supported now — tests/test_jpeg_progressive.py): its
+    # Se=63 "DC scan" violates the progressive scan rules
     sof2 = bytearray(encode_jpeg(np.full((8, 8), 5, np.uint8)))
     i = bytes(sof2).find(b"\xff\xc0")
     sof2[i + 1] = 0xC2
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_jpeg(bytes(sof2))
+    # arithmetic-coded (SOF9) still honestly refuses
+    sof9 = bytearray(encode_jpeg(np.full((8, 8), 5, np.uint8)))
+    sof9[i + 1] = 0xC9
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sof9))
     with _pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
 
