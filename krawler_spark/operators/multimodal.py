@@ -345,8 +345,14 @@ def decode_image(payload: bytes, deterministic_fake: bool = False):
     elif data[:3] == b"\xff\xd8\xff":
         native = lambda: decode_jpeg(data)  # noqa: E731
     elif is_webp(data):
-        # lossless (VP8L) decodes natively; lossy VP8 raises inside
-        native = lambda: decode_webp(data)[..., :3]  # noqa: E731
+        # lossless (VP8L) decodes natively — stills directly, animated
+        # via frame 0 (GIF/APNG parity); lossy VP8 raises inside
+        from .webpcodec import decode_webp_anim, is_animated_webp
+
+        if is_animated_webp(data):
+            native = lambda: decode_webp_anim(data)[0][..., :3]  # noqa: E731
+        else:
+            native = lambda: decode_webp(data)[..., :3]  # noqa: E731
     if native is not None:
         if not deterministic_fake:
             return native()  # corrupt/unsupported-mode payloads raise

@@ -266,11 +266,16 @@ def test_sample_frames_animated_webp(spark):
 
 def test_decode_image_dispatch():
     from krawler_spark.operators.multimodal import decode_image
+    from krawler_spark.operators.webpcodec import encode_webp_anim
 
     rng = np.random.default_rng(9)
     arr = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
     out = decode_image(encode_webp_lossless(arr))
     assert out.shape == (6, 8, 3) and (out == arr).all()
+    # animated WebP decodes to frame 0 (GIF/APNG parity)
+    arr2 = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    out = decode_image(encode_webp_anim([arr, arr2]))
+    assert (out == arr).all()
 
 
 def test_sniff_riff_kinds(spark):
