@@ -816,6 +816,57 @@ def q_multimodal_avif_info(spark, sf_dir):
     )
 
 
+def q_multimodal_image_meta(spark, sf_dir):
+    """Header-only metadata probe — the operation a 100-TB pipeline
+    runs on EVERY binary before deciding what to decode: each doc gets
+    a payload in a format cycling by doc_id (png/gif/jpeg/webp/avif,
+    gif animated with a text-derived frame count), with text-derived
+    pixel dimensions, built in-task by the fixture encoders; then
+    ``probe_image_meta`` reads dimensions/animation/frame counts from
+    file HEADERS only. The oracle recomputes every field from the text
+    and doc_id."""
+    from krawler_spark.operators.multimodal import probe_image_meta
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+
+    def _mk(batches):
+        import numpy as np
+        import pandas as pd
+
+        from krawler_spark.operators.gifcodec import encode_gif
+        from krawler_spark.operators.isobmff import build_avif
+        from krawler_spark.operators.jpegcodec import encode_jpeg
+        from krawler_spark.operators.multimodal import encode_png
+        from krawler_spark.operators.webpcodec import encode_webp_lossless
+
+        for pdf in batches:
+            ids, pays = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                data = (t or "").encode("utf-8") or b"x"
+                w = 1 + data[0] % 32
+                h = 1 + data[1 % len(data)] % 32
+                img = np.zeros((h, w, 3), np.uint8)
+                k = int(i) % 5
+                if k == 0:
+                    p = encode_png(img)
+                elif k == 1:
+                    n = 2 + data[2 % len(data)] % 4
+                    p = encode_gif([img] * n)
+                elif k == 2:
+                    p = encode_jpeg(img)
+                elif k == 3:
+                    p = encode_webp_lossless(img)
+                else:
+                    p = build_avif(b"x", w, h)
+                ids.append(int(i))
+                pays.append(p)
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    payloads = d.mapInPandas(_mk, schema="doc_id long, payload binary")
+    return probe_image_meta(payloads).select(
+        "doc_id", "format", "width", "height", "animated", "n_frames", "ok")
+
+
 def q_multimodal_webp_decode(spark, sf_dir):
     """The REAL lossless-WebP decode path: the same 6×8 RGB pixel block
     as the PNG/GIF twins is ENCODED as a VP8L bitstream in-task
@@ -1279,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp3_walk": q_multimodal_mp3_walk,
         "multimodal_webm_blocks": q_multimodal_webm_blocks,
         "multimodal_avif_info": q_multimodal_avif_info,
+        "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "events_window_agg": q_events_window_agg,
         "crawl_visited": q_crawl_visited,
@@ -1840,6 +1892,22 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_transform(range(40),
                        k -> ascii(substr(tx, CAST(k % length(tx) AS INT) + 1, 1))),
                        ',') AS coded_str
+            FROM t""",
+        "multimodal_image_meta": """
+            WITH t AS (
+              SELECT doc_id, coalesce(nullif(text, ''), 'x') AS tx
+              FROM documents WHERE doc_id < 200)
+            SELECT doc_id,
+                   (['png', 'gif', 'jpeg', 'webp', 'avif'])[CAST(doc_id % 5 AS INT) + 1]
+                       AS format,
+                   1 + ascii(substr(tx, 1, 1)) % 32 AS width,
+                   1 + ascii(substr(tx, CAST(1 % length(tx) AS INT) + 1, 1)) % 32
+                       AS height,
+                   doc_id % 5 = 1 AS animated,
+                   CASE WHEN doc_id % 5 = 1
+                        THEN 2 + ascii(substr(tx, CAST(2 % length(tx) AS INT) + 1, 1)) % 4
+                        ELSE 1 END AS n_frames,
+                   TRUE AS ok
             FROM t""",
         "events_window_agg": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

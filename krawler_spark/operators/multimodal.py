@@ -377,6 +377,137 @@ def decode_image(payload: bytes, deterministic_fake: bool = False):
     return np.frombuffer(bytes.fromhex(m1 + m2 + m3), dtype=np.uint8).reshape(4, 4, 3)
 
 
+def image_meta(payload: bytes) -> dict:
+    """Header-only image metadata: (format, width, height, animated,
+    n_frames) WITHOUT decoding any pixels. At 100 TB this is the probe
+    a pipeline runs on every binary before deciding what to decode —
+    it reads tens of bytes per file (PNG IHDR/acTL, GIF logical screen
+    + block walk, JPEG SOF marker scan, WebP VP8L/VP8X headers, AVIF
+    ispe), never the payload."""
+    import struct as _struct
+
+    b = bytes(payload or b"")
+    if b.startswith(PNG_MAGIC):
+        if b[12:16] != b"IHDR":
+            raise ValueError("PNG: first chunk not IHDR")
+        w, h = _struct.unpack(">II", b[16:24])
+        n = 1
+        animated = False
+        pos = 8
+        while pos + 8 <= len(b):
+            (ln,) = _struct.unpack(">I", b[pos:pos + 4])
+            typ = b[pos + 4:pos + 8]
+            if typ == b"acTL":
+                animated = True
+                (n,) = _struct.unpack(">I", b[pos + 8:pos + 12])
+                break
+            if typ in (b"IDAT", b"IEND"):
+                break
+            pos += 12 + ln
+        return {"format": "png", "width": w, "height": h,
+                "animated": animated, "n_frames": n}
+    from .gifcodec import GIF_MAGICS
+
+    if b[:6] in GIF_MAGICS:
+        w, h = _struct.unpack("<HH", b[6:10])
+        packed = b[10]
+        pos = 13 + (3 * (1 << ((packed & 7) + 1)) if packed & 0x80 else 0)
+        n = 0
+        while pos < len(b):
+            c = b[pos]
+            if c == 0x2C:  # image descriptor
+                n += 1
+                lp = b[pos + 9]
+                pos += 10 + (3 * (1 << ((lp & 7) + 1)) if lp & 0x80 else 0)
+                pos += 1  # LZW min code size
+                while pos < len(b) and b[pos]:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif c == 0x21:  # extension
+                pos += 2
+                while pos < len(b) and b[pos]:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif c == 0x3B:
+                break
+            else:
+                raise ValueError("GIF: unknown block")
+        return {"format": "gif", "width": w, "height": h,
+                "animated": n > 1, "n_frames": max(n, 1)}
+    if b[:3] == b"\xff\xd8\xff":
+        pos = 2
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                raise ValueError("JPEG marker expected")
+            m = b[pos + 1]
+            if m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                h, w = _struct.unpack(">HH", b[pos + 5:pos + 9])
+                return {"format": "jpeg", "width": w, "height": h,
+                        "animated": False, "n_frames": 1}
+            if m == 0xD9 or m == 0xDA:
+                break
+            (ln,) = _struct.unpack(">H", b[pos + 2:pos + 4])
+            pos += 2 + ln
+        raise ValueError("JPEG: no frame header")
+    from .webpcodec import _chunks as _webp_chunks
+    from .webpcodec import is_webp as _is_webp
+
+    if _is_webp(b):
+        w = h = None
+        animated = False
+        n = 0
+        for tag, body in _webp_chunks(b):
+            if tag == b"VP8X":
+                animated = bool(body[0] & 0x02)
+                w = int.from_bytes(body[4:7], "little") + 1
+                h = int.from_bytes(body[7:10], "little") + 1
+            elif tag == b"VP8L" and w is None:
+                bits = int.from_bytes(body[1:5], "little")
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+            elif tag == b"ANMF":
+                n += 1
+        if w is None:
+            raise ValueError("WebP: no image header chunk")
+        return {"format": "webp", "width": w, "height": h,
+                "animated": animated, "n_frames": max(n, 1)}
+    from .isobmff import avif_info, is_avif
+
+    if is_avif(b):
+        info = avif_info(b)
+        return {"format": "avif", "width": info["width"],
+                "height": info["height"], "animated": False, "n_frames": 1}
+    raise ValueError("unrecognized image byte stream")
+
+
+def probe_image_meta(
+    df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed header-only probe over mapInPandas; unrecognized or
+    damaged payloads record ok=false instead of failing the stage."""
+    import pandas as pd
+
+    schema = (f"{id_col} long, format string, width int, height int, "
+              "animated boolean, n_frames int, ok boolean")
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    m = image_meta(payload)
+                    rows.append((int(i), m["format"], m["width"], m["height"],
+                                 m["animated"], m["n_frames"], True))
+                except (ValueError, NotImplementedError):
+                    rows.append((int(i), None, 0, 0, False, 0, False))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "format", "width", "height", "animated", "n_frames",
+                "ok"])
+
+    return df.select(id_col, bin_col).mapInPandas(_probe, schema=schema)
+
+
 def parse_wav(payload: bytes):
     """Parse a RIFF/WAVE file to (sample_rate, channels, int16 samples)
     — a REAL pure-stdlib PCM decode (audio's PNG: no codec needed, just

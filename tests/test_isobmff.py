@@ -148,3 +148,41 @@ def test_sniff_heif_brands(spark):
         "doc_id long, payload binary")
     got = {r.doc_id: r.media_type for r in sniff_media_type(df).collect()}
     assert got == {1: "image/avif", 2: "image/heif", 3: "video/mp4"}
+
+
+def test_image_meta_all_formats_and_probe(spark):
+    import numpy as np
+
+    from krawler_spark.operators.gifcodec import encode_gif
+    from krawler_spark.operators.isobmff import build_avif
+    from krawler_spark.operators.jpegcodec import encode_jpeg
+    from krawler_spark.operators.multimodal import (
+        encode_apng, encode_png, image_meta, probe_image_meta)
+    from krawler_spark.operators.webpcodec import (
+        encode_webp_anim, encode_webp_lossless)
+
+    img = np.zeros((6, 8, 3), np.uint8)
+    cases = {
+        "png": (encode_png(img), False, 1),
+        "gif": (encode_gif([img] * 3), True, 3),
+        "jpeg": (encode_jpeg(img), False, 1),
+        "webp": (encode_webp_lossless(img), False, 1),
+    }
+    for fmt, (payload, anim, n) in cases.items():
+        m = image_meta(payload)
+        assert (m["format"], m["width"], m["height"]) == (fmt, 8, 6)
+        assert (m["animated"], m["n_frames"]) == (anim, n)
+    m = image_meta(encode_apng([img] * 4))
+    assert m["format"] == "png" and m["animated"] and m["n_frames"] == 4
+    m = image_meta(encode_webp_anim([img, img]))
+    assert m["format"] == "webp" and m["animated"] and m["n_frames"] == 2
+    m = image_meta(build_avif(b"x", 33, 21))
+    assert (m["format"], m["width"], m["height"]) == ("avif", 33, 21)
+    with pytest.raises(ValueError):
+        image_meta(b"garbage bytes")
+    df = spark.createDataFrame(
+        [(1, bytearray(cases["png"][0])), (2, bytearray(b"garbage"))],
+        "doc_id long, payload binary")
+    rows = {r.doc_id: r for r in probe_image_meta(df).collect()}
+    assert rows[1].ok and rows[1].format == "png"
+    assert not rows[2].ok and rows[2].format is None
