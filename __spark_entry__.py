@@ -405,9 +405,13 @@ def q_text_quality_filter(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    # single-file parquet input → spread the N×C scoring join explicitly
+    # single-file parquet input → spread the N×C scoring join explicitly.
+    # cell_stride 250 puts the centroid count near sqrt(N) at the bench
+    # scale (sf0.1: ~307 cells over 76.8k vectors) — canonical IVF
+    # sizing; the r3 stride of 25 built N/25 centroids, making the
+    # coarse-quantizer scoring quadratic-ish (10x the pair count).
     return T.ivf_ann(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5,
-                     cell_stride=25, nprobe=3, dim=64,
+                     cell_stride=250, nprobe=3, dim=64,
                      spread_partitions=spark.sparkContext.defaultParallelism)
 
 
@@ -1565,7 +1569,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _EMB_BASE + """,
             cents AS (
               SELECT vec_id AS cent_id, v AS cv FROM base
-              WHERE vec_id % 25 = 0),
+              WHERE vec_id % 250 = 0),
             scored AS (
               SELECT b.vec_id, b.v, c.cent_id,
                      round(list_cosine_similarity(b.v, c.cv), 4) AS ccos

@@ -599,13 +599,32 @@ def ivf_ann(
     # well-partitioned corpus skips the shuffle entirely.
     if spread_partitions:
         base = base.repartition(spread_partitions)
-    cents = base.filter(F.col(id_col) % cell_stride == 0).select(
-        F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
-    )
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col), "v", "cent_id",
-        F.round(cosine_dim(F.col("v"), F.col("cv"), dim), 4).alias("ccos"),
-    )
+    # With a known dim, precompute each side's norm ONCE instead of
+    # per pair: the N×C scoring then does one unrolled dot + one
+    # divide per pair (3x fewer multiplies). Float sequence per
+    # element is unchanged, so results are bit-identical to the
+    # per-pair formula (and to the DuckDB oracle at 4-digit rounding).
+    if dim is not None:
+        base = base.withColumn("_nv", F.sqrt(_dot_unrolled(F.col("v"), F.col("v"), dim)))
+        cents = base.filter(F.col(id_col) % cell_stride == 0).select(
+            F.col(id_col).alias("cent_id"), F.col("v").alias("cv"),
+            F.col("_nv").alias("_nc"),
+        )
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col), "v", F.col("_nv"), "cent_id",
+            F.round(
+                _dot_unrolled(F.col("v"), F.col("cv"), dim)
+                / (F.col("_nv") * F.col("_nc")), 4
+            ).alias("ccos"),
+        )
+    else:
+        cents = base.filter(F.col(id_col) % cell_stride == 0).select(
+            F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
+        )
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col), "v", "cent_id",
+            F.round(cosine_dim(F.col("v"), F.col("cv"), dim), 4).alias("ccos"),
+        )
     # nearest cell per vector: max (ccos, cent_id) struct — a groupBy
     # argmax (map-side combinable), not a corpus-wide window. The argmax
     # shuffles only narrow (id, ccos, cent_id) rows; the embedding
@@ -618,18 +637,26 @@ def ivf_ann(
     w_probe = Window.partitionBy(id_col).orderBy(
         F.col("ccos").desc(), F.col("cent_id").desc()
     )
+    probe_cols = [F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
+                  F.col("cent_id").alias("cell")]
+    if dim is not None:
+        probe_cols.append(F.col("_nv").alias("_nq"))
     probes = (
         scored.filter(F.col(id_col).isin(query_ids))
         .withColumn("_r", F.row_number().over(w_probe))
         .filter(F.col("_r") <= nprobe)
-        .select(F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
-                F.col("cent_id").alias("cell"))
+        .select(*probe_cols)
     )
+    if dim is not None:
+        pair_cos = (_dot_unrolled(F.col("qv"), F.col("v"), dim)
+                    / (F.col("_nq") * F.col("_nv")))
+    else:
+        pair_cos = cosine_dim(F.col("qv"), F.col("v"), dim)
     cand = assign.join(F.broadcast(probes), "cell").filter(
         F.col(id_col) != F.col("q_id")
     ).select(
         "q_id", F.col(id_col).alias("n_id"),
-        F.round(cosine_dim(F.col("qv"), F.col("v"), dim), 4).alias("cos"),
+        F.round(pair_cos, 4).alias("cos"),
     ).dropDuplicates(["q_id", "n_id"])
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return cand.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
