@@ -436,6 +436,19 @@ def _dot_unrolled(a, b, dim: int):
     return out
 
 
+def _dot_unrolled_expr(a_name: str, b_name: str, dim: int):
+    """``_dot_unrolled`` over NAMED columns, built as one SQL string →
+    one py4j call. Building the 64-term tree Column-by-Column costs
+    hundreds of driver py4j round-trips per call site (~3s of pure
+    plan-build time in the ANN queries); the parsed expression tree is
+    identical, so results are bit-equal."""
+    s = " + ".join(
+        f"element_at({a_name}, {i + 1}) * element_at({b_name}, {i + 1})"
+        for i in range(dim)
+    )
+    return F.expr(s)
+
+
 def cosine_dim(a, b, dim: Optional[int]):
     """``cosine`` with an optional known dimensionality: when ``dim`` is
     given the whole expression is codegen-unrolled; when None it falls
@@ -605,7 +618,7 @@ def ivf_ann(
     # element is unchanged, so results are bit-identical to the
     # per-pair formula (and to the DuckDB oracle at 4-digit rounding).
     if dim is not None:
-        base = base.withColumn("_nv", F.sqrt(_dot_unrolled(F.col("v"), F.col("v"), dim)))
+        base = base.withColumn("_nv", F.sqrt(_dot_unrolled_expr("v", "v", dim)))
         cents = base.filter(F.col(id_col) % cell_stride == 0).select(
             F.col(id_col).alias("cent_id"), F.col("v").alias("cv"),
             F.col("_nv").alias("_nc"),
@@ -613,7 +626,7 @@ def ivf_ann(
         scored = base.crossJoin(F.broadcast(cents)).select(
             F.col(id_col), "v", F.col("_nv"), "cent_id",
             F.round(
-                _dot_unrolled(F.col("v"), F.col("cv"), dim)
+                _dot_unrolled_expr("v", "cv", dim)
                 / (F.col("_nv") * F.col("_nc")), 4
             ).alias("ccos"),
         )
@@ -648,7 +661,7 @@ def ivf_ann(
         .select(*probe_cols)
     )
     if dim is not None:
-        pair_cos = (_dot_unrolled(F.col("qv"), F.col("v"), dim)
+        pair_cos = (_dot_unrolled_expr("qv", "v", dim)
                     / (F.col("_nq") * F.col("_nv")))
     else:
         pair_cos = cosine_dim(F.col("qv"), F.col("v"), dim)
