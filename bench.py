@@ -197,10 +197,19 @@ def main() -> None:
         docs.limit(64).mapInPandas(
             lambda it: (pdf.iloc[:1][["doc_id"]] for pdf in it),
             schema="doc_id long").count()
+        # min-of-reps per query, same policy as the crawl headline:
+        # co-tenant noise only slows a run, and rep 2 measures the
+        # steady state (plan/codegen caches warm) a long-running
+        # session actually sees rather than one cold shot.
+        q_reps = int(os.environ.get("KS_BENCH_QUERY_REPS", "2"))
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            _count(qs[name](spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(q_reps):
+                t0 = time.time()
+                _count(qs[name](spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
 
     # The crawl loop is the headline; the sandbox shares a host with
     # co-tenants whose load waves can double a single run's wall time
