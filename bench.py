@@ -218,11 +218,15 @@ def main() -> None:
     # the engine's cost; counts are asserted identical across reps.
     crawl_reps = int(os.environ.get("KS_BENCH_CRAWL_REPS", "2"))
     crawls = [crawl_bench(spark, hosts, pph) for _ in range(crawl_reps)]
-    assert len({(c["fetched"], c["deduped"]) for c in crawls}) == 1
+    if len({(c["fetched"], c["deduped"]) for c in crawls}) != 1:
+        # not a bare assert: stripped under -O, and min-of-reps is only
+        # honest when it picks among identical-output runs
+        raise RuntimeError(f"crawl reps disagree on counts: {crawls}")
     crawl = min(crawls, key=lambda c: c["sec"])
     timings["crawl_round_loop"] = crawl["sec"]
 
     total = round(sum(timings.values()), 2)
+    q_reps = int(os.environ.get("KS_BENCH_QUERY_REPS", "2"))
     print(
         json.dumps(
             {
@@ -233,6 +237,15 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "crawl": crawl,
+                # methodology self-description (r4 VERDICT "what's wrong"
+                # #2): r3 and earlier were single-shot cold numbers; r4+
+                # are min-of-reps after an untimed session warmup. Not
+                # apples-to-apples with BENCH_r03 and before.
+                "estimator": (f"min-of-{q_reps}, warmed"
+                              if not os.environ.get("KS_BENCH_CRAWL_ONLY")
+                              else "crawl-only"),
+                "crawl_estimator": f"min-of-{crawl_reps}, counts-asserted",
+                "warmup": True,
             }
         )
     )

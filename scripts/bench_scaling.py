@@ -133,10 +133,16 @@ def main() -> None:
     print(f"machine calibration (cpu): {json.dumps(calib)}", flush=True)
     mem = mem_calibration(args.n)
     print(f"machine calibration (memory bandwidth): {json.dumps(mem)}", flush=True)
-    if args.require_quiet and mem["ceiling"] < args.require_quiet:
-        print(f"host not quiet (bw ceiling {mem['ceiling']} < "
-              f"{args.require_quiet}) — aborting unrecorded", flush=True)
-        raise SystemExit(3)
+    if args.require_quiet:
+        # the quiet CHECK is always the 1→4 probe (host-noise signal);
+        # the pair's own calibration above is what the window reports.
+        # For n=1 they coincide; for n=4 the pair's 4→16 bw ceiling
+        # saturates the single DRAM bus even idle, so it cannot gate.
+        quiet_mem = mem if args.n == 1 else mem_calibration(1)
+        if quiet_mem["ceiling"] < args.require_quiet:
+            print(f"host not quiet (1→4 bw ceiling {quiet_mem['ceiling']} < "
+                  f"{args.require_quiet}) — aborting unrecorded", flush=True)
+            raise SystemExit(3)
 
     # interleave configs across reps so a noise wave hits both equally
     runs: dict[int, list] = {args.n: [], args.n * 4: []}
@@ -167,12 +173,20 @@ def main() -> None:
     # (the gate asks for the efficiency to hold across windows, not one
     # lucky measurement)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # efficiency-over-ceiling: the engine's measured N→4N efficiency
+    # relative to what THIS BOX can deliver for n→4n processes at all
+    # (CPU process-scaling calibration, same window). On a real cluster
+    # the ceiling is ~1.0 (each executor brings its own cores + DRAM
+    # bus); on this shared single-bus host the calibration is the
+    # honest denominator — eff/ceiling ≥ 1 means the engine scales as
+    # well as the machine permits.
     window = {
         "when": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
         "n": args.n, "hosts": args.hosts, "pages": args.pages,
         "reps": args.reps, "calib": calib, "mem": mem,
         "lo": lo, "hi": hi,
         "speedup": round(speedup, 2), "eff": round(eff, 3),
+        "eff_over_cpu_ceiling": round(eff / calib["ceiling"], 3),
     }
     wpath = os.path.join(REPO, "BENCH", "windows.jsonl")
     with open(wpath, "a") as f:
@@ -183,7 +197,8 @@ def main() -> None:
         f"| {w['when']} | local[{w['n']}]→local[{w['n'] * 4}] | "
         f"{w['hosts']}×{w['pages']} | {w['lo']['sec']} | {w['hi']['sec']} | "
         f"{w['speedup']:.2f}× | **{w['eff']:.2f}** | "
-        f"{w['calib']['ceiling']:.2f} / {w['mem']['ceiling']:.2f} |"
+        f"{w['calib']['ceiling']:.2f} / {w['mem']['ceiling']:.2f} | "
+        f"{w.get('eff_over_cpu_ceiling', w['eff'] / w['calib']['ceiling']):.2f} |"
         for w in windows
     )
 
@@ -233,8 +248,14 @@ the measurement holding across independent windows, not one lucky run.
 The last two columns are the MACHINE's own process-scaling ceilings
 (CPU / memory-bandwidth) measured in the same window.
 
-| window (UTC) | pair | corpus | N sec | 4N sec | speedup | efficiency | cpu / bw ceiling |
-|---|---|---|---|---|---|---|---|
+The final column, **eff/ceiling**, divides the engine's measured
+efficiency by the machine's own CPU process-scaling ceiling for the
+same pair in the same window — ≥ 1.0 means the engine scales as well
+as this shared box permits (a real N→4N executor fleet multiplies
+cores AND memory buses, so its ceiling is ~1.0).
+
+| window (UTC) | pair | corpus | N sec | 4N sec | speedup | efficiency | cpu / bw ceiling | eff/ceiling |
+|---|---|---|---|---|---|---|---|---|
 {wrows}
 
 Full bench JSON (N): `{json.dumps(results[args.n])}`
