@@ -498,6 +498,7 @@ def q_multimodal_features(spark, sf_dir):
         "doc_id",
         F.array_join(F.col("hist").cast("array<string>"), ",").alias("hist_str"),
         "decode_ok",
+        "decoded_fake",
     )
 
 
@@ -1739,7 +1740,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    array_to_string(list_transform(range(16),
                        b -> len(list_filter(pix, p -> p // 16 = b))), ',') AS hist_str,
-                   TRUE AS decode_ok
+                   TRUE AS decode_ok,
+                   TRUE AS decoded_fake
             FROM px""",
         "multimodal_png_decode": """
             WITH t AS (

@@ -178,6 +178,8 @@ def avif_info(payload: bytes) -> dict:
     item_types = {}
     extents = {}
     width = height = None
+    ipco_props: list = []   # ipco children in order (ipma indexes are 1-based)
+    ipma_assoc: dict = {}   # item_id -> [property indices]
     for typ, s, e in _boxes(b, ms, me):
         if typ == b"pitm":
             ver = b[s]
@@ -247,12 +249,52 @@ def avif_info(payload: bytes) -> dict:
         elif typ == b"iprp":
             for ptyp, ps, pe in _boxes(b, s, e):
                 if ptyp == b"ipco":
-                    for ctyp, cs, ce in _boxes(b, ps, pe):
-                        if ctyp == b"ispe" and width is None:
-                            q = _full(b, cs)
-                            width, height = struct.unpack(">II", b[q:q + 8])
+                    ipco_props = list(_boxes(b, ps, pe))
+                elif ptyp == b"ipma":
+                    ver = b[ps]
+                    flags = int.from_bytes(b[ps + 1:ps + 4], "big")
+                    q = _full(b, ps)
+                    (n_assoc,) = struct.unpack(">I", b[q:q + 4])
+                    q += 4
+                    for _ in range(n_assoc):
+                        if ver < 1:
+                            iid = struct.unpack(">H", b[q:q + 2])[0]
+                            q += 2
+                        else:
+                            iid = struct.unpack(">I", b[q:q + 4])[0]
+                            q += 4
+                        cnt = b[q]
+                        q += 1
+                        idxs = []
+                        for _a in range(cnt):
+                            if flags & 1:
+                                v = struct.unpack(">H", b[q:q + 2])[0]
+                                q += 2
+                                idxs.append(v & 0x7FFF)  # drop essential bit
+                            else:
+                                idxs.append(b[q] & 0x7F)
+                                q += 1
+                        ipma_assoc[iid] = idxs
     if primary is None or primary not in extents:
         raise ValueError("avif: primary item unresolved")
+
+    # dimensions = the ispe ASSOCIATED with the primary item (ipma →
+    # 1-based ipco index). Multi-item HEIC/AVIF (thumbnail/grid items)
+    # carries several ispes — first-in-ipco can belong to a different
+    # item, so that is only the fallback when ipma is absent/unresolved.
+    def _ispe_dims(cs: int):
+        q = _full(b, cs)
+        return struct.unpack(">II", b[q:q + 8])
+
+    for idx in ipma_assoc.get(primary, []):
+        if 1 <= idx <= len(ipco_props) and ipco_props[idx - 1][0] == b"ispe":
+            width, height = _ispe_dims(ipco_props[idx - 1][1])
+            break
+    if width is None:
+        for ctyp, cs, _ce in ipco_props:
+            if ctyp == b"ispe":
+                width, height = _ispe_dims(cs)
+                break
     for off, ln in extents[primary]:
         if off + ln > len(b):
             raise ValueError("avif: extent outside file")

@@ -57,6 +57,18 @@ def _elements(b: bytes, start: int, end: int) -> Iterator[Tuple[int, int, int]]:
         eid, n1 = _read_vint(b, pos, keep_marker=True)
         size, n2 = _read_vint(b, pos + n1, keep_marker=False)
         ps = pos + n1 + n2
+        if size == (1 << (7 * n2)) - 1:
+            # size vint of all ones = UNKNOWN SIZE — routine on
+            # live/stream-muxed WebM (Segment and Cluster written before
+            # their length is known). Per spec the element runs to the
+            # first non-child; for extraction "to end of parent" is
+            # equivalent (a following Cluster parses as a nested master
+            # and its SimpleBlocks are still walked) — the same policy
+            # isobmff applies to size==0 boxes.
+            if eid not in (SEGMENT, CLUSTER):
+                raise ValueError("ebml: unknown-size non-master element")
+            yield eid, ps, end
+            return
         if ps + size > end:
             raise ValueError("ebml: element overruns parent")
         yield eid, ps, ps + size

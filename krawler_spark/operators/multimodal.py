@@ -613,28 +613,44 @@ def extract_features(
     import pandas as pd
 
     schema = (
-        f"{id_col} long, features array<double>, hist array<int>, decode_ok boolean"
+        f"{id_col} long, features array<double>, hist array<int>, "
+        "decode_ok boolean, decoded_fake boolean"
     )
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, feats, hists, oks = [], [], [], []
+            ids, feats, hists, oks, fakes = [], [], [], [], []
             for i, payload in zip(pdf[id_col], pdf[bin_col]):
                 ids.append(int(i))
+                img, fake = None, False
                 try:
-                    img = decode_image(payload, deterministic_fake=deterministic_fake)
+                    img = decode_image(payload, deterministic_fake=False)
+                except (NotImplementedError, ValueError):
+                    if deterministic_fake:
+                        # the md5-chain fake — decoded_fake marks these
+                        # rows so downstream can never mistake fake
+                        # histograms for real pixels (r4 VERDICT #4)
+                        try:
+                            img = decode_image(payload, deterministic_fake=True)
+                            fake = True
+                        except (NotImplementedError, ValueError):
+                            pass
+                if img is not None:
                     hist = np.histogram(img, bins=FEATURE_DIM, range=(0, 256))[0]
                     hists.append([int(x) for x in hist])
                     feats.append((hist / max(hist.sum(), 1)).astype(float).tolist())
                     oks.append(True)
-                except (NotImplementedError, ValueError):
+                    fakes.append(fake)
+                else:
                     # unsupported format or corrupt payload: a 100-TB
                     # job must record the miss, never crash the stage
                     hists.append([0] * FEATURE_DIM)
                     feats.append([0.0] * FEATURE_DIM)
                     oks.append(False)
+                    fakes.append(False)
             yield pd.DataFrame(
-                {id_col: ids, "features": feats, "hist": hists, "decode_ok": oks}
+                {id_col: ids, "features": feats, "hist": hists,
+                 "decode_ok": oks, "decoded_fake": fakes}
             )
 
     return df.select(id_col, bin_col).mapInPandas(_feat, schema=schema)

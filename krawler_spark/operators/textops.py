@@ -489,11 +489,25 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    block_cap: Optional[int] = 4096,
 ) -> DataFrame:
     """Near-duplicate vectors: pairwise cosine within blocking buckets
-    (label, or any coarse quantization) — never a cross product."""
+    (label, or any coarse quantization) — never a cross product.
+
+    ``block_cap`` bounds the within-block join: ``block_col`` is
+    caller-supplied, and one hot block (a dominant label) makes the
+    block join quadratic inside a single task — at 100-TB scale that is
+    a task that never finishes. Blocks larger than the cap are
+    deterministically truncated (rank by id within block), mirroring
+    ``lsh_bucketed_ann``'s ``bucket_cap``; pass ``block_cap=None`` only
+    when the blocking key is known-bounded."""
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col), F.col(block_col).alias("blk"), vec_d.alias("v"))
+    if block_cap is not None:
+        w_cap = Window.partitionBy("blk").orderBy(F.col(id_col))
+        base = base.withColumn("_bc", F.row_number().over(w_cap)).filter(
+            F.col("_bc") <= block_cap
+        ).drop("_bc")
     a = base.select(F.col(id_col).alias("id_a"), "blk", F.col("v").alias("va"))
     b = base.select(F.col(id_col).alias("id_b"), "blk", F.col("v").alias("vb"))
     return (

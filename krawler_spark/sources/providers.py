@@ -363,10 +363,39 @@ class HttpRequestProvider:
                         return repl + u[len(pref):]
                 return u
 
+            def decode_body(body: bytes, headers) -> bytes:
+                """Transparent content decompression — the reference
+                defaults allowContentCompression=true and Apache
+                HttpClient decodes gzip/deflate before the crawler sees
+                the entity (crawler/KrawlConfig.kt:21-63); urllib does
+                not, so a server forcing Content-Encoding would
+                otherwise cache compressed bytes as the page body."""
+                enc = ""
+                if headers is not None:
+                    enc = (headers.get("Content-Encoding") or "").lower().strip()
+                try:
+                    if enc == "gzip" or enc == "x-gzip":
+                        import gzip
+
+                        return gzip.decompress(body)
+                    if enc == "deflate":
+                        import zlib
+
+                        try:
+                            return zlib.decompress(body)
+                        except zlib.error:
+                            # some servers send raw-deflate without the
+                            # zlib wrapper
+                            return zlib.decompress(body, -zlib.MAX_WBITS)
+                except Exception:
+                    pass  # damaged encoding: keep the raw bytes
+                return body
+
             def paced_get(logical_url: str, host: str):
                 """One polite GET: spaced ≥ delay per host, retried on
                 transient failure. Returns (status, body, location) —
-                status None ⇔ gave up."""
+                status None ⇔ gave up. Advertises gzip and stores the
+                DECODED bytes."""
                 for attempt in range(retries + 1):
                     if delay_s > 0:
                         prev = last_hit.get(host)
@@ -376,15 +405,19 @@ class HttpRequestProvider:
                         last_hit[host] = time.monotonic()
                     try:
                         req = urllib.request.Request(
-                            to_wire(logical_url), headers={"User-Agent": ua}
+                            to_wire(logical_url),
+                            headers={"User-Agent": ua,
+                                     "Accept-Encoding": "gzip, deflate"},
                         )
                         with opener.open(req, timeout=timeout) as resp:
-                            return resp.status, resp.read(), None
+                            return (resp.status,
+                                    decode_body(resp.read(), resp.headers),
+                                    None)
                     except urllib.error.HTTPError as exc:
                         loc = exc.headers.get("Location") if exc.headers else None
                         body = b""
                         try:
-                            body = exc.read()
+                            body = decode_body(exc.read(), exc.headers)
                         except Exception:
                             pass
                         return exc.code, body, loc

@@ -24,9 +24,9 @@ def build_zip(out_path: str) -> list[str]:
     """Write the archive; returns the archived relative names."""
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     names: list[str] = []
-    # ZIP_STORED for the one big .dat keeps import cheap; sources are
-    # tiny either way — use deflate for everything, executors unpack
-    # once per python worker process.
+    # deflate for everything (including the big vendored .dat — it
+    # compresses well and executors unpack once per python worker
+    # process, so decompression cost is a per-worker one-off)
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, dirs, files in os.walk(PKG):
             dirs[:] = [d for d in dirs if d != "__pycache__"]

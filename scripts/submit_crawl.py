@@ -37,8 +37,13 @@ from pyspark.sql import SparkSession
 def parse_args(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--corpus", required=True,
-                    help="parquet path OR catalog.db.table of the page corpus "
+                    help="parquet path (default) OR, with --corpus-table, a "
+                    "catalog table of the page corpus "
                     "(url, warc_ts, html, text, lang[, status, clen])")
+    ap.add_argument("--corpus-table", action="store_true",
+                    help="interpret --corpus as a catalog table name instead "
+                    "of a parquet path (explicit — a dotted relative path "
+                    "like pages.parquet must never be guessed into a table)")
     ap.add_argument("--warehouse", required=True,
                     help="crawl-state location: a path (parquet store) or an "
                     "Iceberg namespace when --store iceberg")
@@ -90,8 +95,7 @@ def main(argv=None) -> int:
     from krawler_spark.engine import CrawlEngine
 
     pages = (
-        spark.table(args.corpus)
-        if "/" not in args.corpus and "." in args.corpus
+        spark.table(args.corpus) if args.corpus_table
         else spark.read.parquet(args.corpus)
     )
 

@@ -136,6 +136,54 @@ def test_avif_roundtrip_and_errors():
         avif_info(truncated)
 
 
+def test_avif_multi_item_ispe_association():
+    """Real multi-item HEIC/AVIF (thumbnail + primary) carries one ispe
+    per item; the reported dimensions must be the ispe ipma-associated
+    with the PRIMARY item, not the first ispe in ipco (ADVICE r4)."""
+    import struct
+
+    from krawler_spark.operators import isobmff as I
+
+    payload = b"coded-primary-bytes"
+    thumb = b"thumb"
+    ftyp = I._box(b"ftyp", b"avif" + struct.pack(">I", 0) + b"avifmif1")
+    hdlr = I._fullbox(b"hdlr", struct.pack(">I", 0) + b"pict" + b"\x00" * 13)
+    pitm = I._fullbox(b"pitm", struct.pack(">H", 2))  # primary = item 2
+    infe1 = I._fullbox(b"infe", struct.pack(">HH", 1, 0) + b"av01" + b"\x00",
+                       version=2)
+    infe2 = I._fullbox(b"infe", struct.pack(">HH", 2, 0) + b"av01" + b"\x00",
+                       version=2)
+    iinf = I._fullbox(b"iinf", struct.pack(">H", 2) + infe1 + infe2)
+    # ipco: item 1's (thumbnail) ispe FIRST, the primary's second
+    ispe_thumb = I._fullbox(b"ispe", struct.pack(">II", 32, 24))
+    ispe_main = I._fullbox(b"ispe", struct.pack(">II", 640, 480))
+    ipco = I._box(b"ipco", ispe_thumb + ispe_main)
+    ipma = I._fullbox(b"ipma", struct.pack(">I", 2) +
+                      struct.pack(">HB", 1, 1) + bytes([0x81]) +   # item1→prop1
+                      struct.pack(">HB", 2, 1) + bytes([0x82]))    # item2→prop2
+    iprp = I._box(b"iprp", ipco + ipma)
+
+    def iloc_with(off1, off2):
+        return I._fullbox(b"iloc", struct.pack(">H", 0x4400) +
+                          struct.pack(">H", 2) +
+                          struct.pack(">HHH", 1, 0, 1) +
+                          struct.pack(">II", off1, len(thumb)) +
+                          struct.pack(">HHH", 2, 0, 1) +
+                          struct.pack(">II", off2, len(payload)))
+
+    meta_for = lambda o1, o2: I._fullbox(  # noqa: E731
+        b"meta", hdlr + pitm + iinf + iprp + iloc_with(o1, o2))
+    probe = ftyp + meta_for(0, 0)
+    off1 = len(probe) + 8
+    av = ftyp + meta_for(off1, off1 + len(thumb)) + I._box(
+        b"mdat", thumb + payload)
+
+    info = I.avif_info(av)
+    assert info["primary_item"] == 2
+    assert (info["width"], info["height"]) == (640, 480)  # NOT 32×24
+    assert I.extract_avif_item(av) == payload
+
+
 def test_sniff_heif_brands(spark):
     from krawler_spark.operators.isobmff import build_avif
     from krawler_spark.operators.multimodal import sniff_media_type

@@ -35,6 +35,58 @@ def test_track_filtering_and_errors():
         video_blocks(b"\x1a\x45\xdf\xa3junkjunk")
 
 
+def _unknown_size_webm(frames, unknown_cluster=True):
+    """Re-mux build_webm's output with stream-style UNKNOWN sizes: the
+    Segment size vint is all-ones (0x01FF..FF) and, optionally, so is
+    the Cluster's (0xFF) — how live-muxed WebM is written before the
+    total length is known."""
+    from krawler_spark.operators import matroska as M
+
+    header = M._el(M.EBML, M._el(M.DOCTYPE, b"webm") +
+                   M._el_uint(0x4286, 1) + M._el_uint(0x42F7, 1))
+    info = M._el(M.INFO, M._el_uint(M.TIMECODE_SCALE, 1_000_000))
+    entry = M._el(M.TRACK_ENTRY,
+                  M._el_uint(M.TRACK_NUMBER, 1) + M._el_uint(0x73C5, 1) +
+                  M._el_uint(M.TRACK_TYPE, 1) + M._el(M.CODEC_ID, b"V_VP8"))
+    tracks = M._el(M.TRACKS, entry)
+    import struct
+
+    blocks = b"".join(
+        M._el(M.SIMPLE_BLOCK,
+              M._enc_vint_size(1) + struct.pack(">hB", i, 0x80) + fr)
+        for i, fr in enumerate(frames))
+    cluster_payload = M._el_uint(M.CLUSTER_TIMECODE, 0) + blocks
+    if unknown_cluster:
+        cluster = M._enc_vint_id(M.CLUSTER) + b"\xff" + cluster_payload
+    else:
+        cluster = M._el(M.CLUSTER, cluster_payload)
+    seg_payload = info + tracks + cluster
+    return (header + M._enc_vint_id(M.SEGMENT) +
+            b"\x01" + b"\xff" * 7 + seg_payload)
+
+
+def test_unknown_size_segment_and_cluster():
+    """Live/stream-muxed WebM writes Segment (and often Cluster) with
+    the all-ones unknown-size vint; the walk must treat it as
+    extends-to-end-of-parent instead of raising overruns-parent
+    (ADVICE r4: real crawled WebM silently degraded to the stub)."""
+    frames = [b"abc", b"defgh" * 80, b"z" * 7]
+    for unknown_cluster in (True, False):
+        webm = _unknown_size_webm(frames, unknown_cluster=unknown_cluster)
+        assert extract_blocks(webm) == frames
+
+
+def test_unknown_size_nonmaster_rejected():
+    from krawler_spark.operators import matroska as M
+
+    # a SimpleBlock (non-master) with an unknown-size vint is invalid
+    bad = (M._el(M.EBML, M._el(M.DOCTYPE, b"webm")) +
+           M._enc_vint_id(M.SEGMENT) + b"\x01" + b"\xff" * 7 +
+           M._enc_vint_id(M.SIMPLE_BLOCK) + b"\xff" + b"\x81\x00\x00\x80xx")
+    with pytest.raises(ValueError):
+        video_blocks(bad)
+
+
 def test_sample_frames_webm(spark):
     from krawler_spark.operators.multimodal import sample_frames
 

