@@ -25,21 +25,27 @@ metrics/r=N         table ``<ns>.metrics`` partitioned by r
 _commits/rN.json    table ``<ns>.commits`` (r, state_json) — the commit
                     row append IS the transaction boundary; a crashed
                     round leaves orphan partitions that the next attempt
-                    replaces via ``overwritePartitions``
+                    replaces via ``overwrite(r == N)``
 _history_floor      row in ``<ns>.commits`` with r = -1
 ==================  =====================================================
 
 Resumability story (north_rule): Iceberg gives snapshot isolation and
 time travel natively — a killed job resumes from the last committed
 round because every reader below filters on the committed-round set,
-and ``overwritePartitions`` makes round retries idempotent. The bloom
+and the round-filter ``overwrite`` makes round retries idempotent
+(not ``overwritePartitions``: with the delta's second partition column
+``kind``, a retry missing some kind would strand the crashed attempt's
+rows in that kind's partition). The bloom
 shard snapshots ride along as an ordinary partitioned table, i.e.
 "per-partition bloom shards carried by snapshot checkpoints".
 
-This environment has no Iceberg runtime, so the class raises at
-construction unless the catalog probe succeeds;
-``tests/test_iceberg_store.py`` exercises it when available and skips
-otherwise.
+This environment has no Iceberg runtime (no network to fetch the
+iceberg-spark-runtime jar), so the class raises at construction unless
+the catalog probe succeeds; ``tests/test_iceberg_store.py`` exercises
+it against a real catalog when available and skips otherwise, and
+``tests/test_iceberg_emulated.py`` runs the same scenarios in-sandbox
+against a catalog emulator that supplies only the DataFrameWriterV2 /
+catalog surface this store consumes.
 """
 
 from __future__ import annotations
@@ -101,8 +107,15 @@ class IcebergSnapshotStore:
             (out.writeTo(self._tbl(name)).partitionedBy(*[F.col(p) for p in parts])
              .using("iceberg").create())
         else:
-            # idempotent round retry: replace exactly this round's rows
-            out.writeTo(self._tbl(name)).overwritePartitions()
+            # idempotent round retry: replace exactly this round's rows.
+            # overwrite-by-filter, NOT overwritePartitions — with a
+            # second partition column (delta's kind), a retry whose new
+            # attempt lacks some kind would leave the crashed attempt's
+            # stale rows in that kind's partition; the r-filter
+            # overwrite deletes the whole round atomically instead
+            # (caught by tests/test_iceberg_emulated.py round-retry).
+            out.writeTo(self._tbl(name)).overwrite(
+                F.col("r") == int(round_no))
 
     # -- commit protocol ----------------------------------------------------------
     def write_delta(self, round_no: int, df: DataFrame) -> None:
