@@ -1,0 +1,209 @@
+"""Assemble scaling-evidence windows from harvested reps.
+
+Reads BENCH/reps_r5.jsonl (written by scaling_harvest.py), groups reps
+by (n, pages) window, takes the per-leg MINIMUM (co-tenant noise only
+ever slows a run down, so min-of-K converges on the quiet-host time),
+appends a window row to BENCH/windows.jsonl with the chosen reps' own
+noise traces as provenance, and regenerates BENCH/BASELINE.md from ALL
+recorded windows.
+
+Run it after (or while) the harvester has produced at least one rep
+per leg:  python scripts/scaling_assemble.py --window 1:12000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from bench_scaling import cpu_calibration, mem_calibration  # noqa: E402
+
+REPS_PATH = os.environ.get(
+    "KS_REPS_PATH", os.path.join(REPO, "BENCH", "reps_r5.jsonl"))
+WINDOWS_PATH = os.path.join(REPO, "BENCH", "windows.jsonl")
+
+
+def leg_summary(reps: list[dict]) -> dict:
+    """Pick the min-sec rep; carry every rep's sec + the winner's trace."""
+    best = min(reps, key=lambda r: r["crawl"]["sec"])
+    return {
+        **best["crawl"],
+        "reps_sec": sorted(r["crawl"]["sec"] for r in reps),
+        "best_when": best["when"],
+        "best_trace_med_gbs": best["trace_med_gbs"],
+        "best_trace_min_gbs": best["trace_min_gbs"],
+        "best_idle_ceiling": best["idle_probe"]["ceiling"],
+    }
+
+
+def assemble(n: int, pages: int, hosts: int) -> dict:
+    with open(REPS_PATH) as f:
+        reps = [json.loads(l) for l in f if l.strip()]
+    reps = [r for r in reps if r["pages"] == pages and r["hosts"] == hosts
+            and r["cpus"] in (n, n * 4)]
+    lo_reps = [r for r in reps if r["cpus"] == n]
+    hi_reps = [r for r in reps if r["cpus"] == n * 4]
+    if not lo_reps or not hi_reps:
+        raise SystemExit(f"need reps at both cpus={n} and {n * 4} "
+                         f"(have {len(lo_reps)}/{len(hi_reps)})")
+    counts = {(r["crawl"]["fetched"], r["crawl"]["deduped"],
+               r["crawl"]["frontier_next"]) for r in lo_reps + hi_reps}
+    if len(counts) != 1:
+        raise RuntimeError(f"reps disagree on counts across legs: {counts}")
+    lo, hi = leg_summary(lo_reps), leg_summary(hi_reps)
+    speedup = lo["sec"] / hi["sec"]
+    eff = speedup / 4
+    # calibration itself is exposed to the same noise waves, and noise
+    # only ever LOWERS a reading — sample 3x and keep the max-ceiling
+    # sample: the machine's true capability, and the least generous
+    # denominator for eff/ceiling
+    calib_samples = [cpu_calibration(n) for _ in range(3)]
+    mem_samples = [mem_calibration(n) for _ in range(3)]
+    calib = max(calib_samples, key=lambda c: c["ceiling"])
+    mem = max(mem_samples, key=lambda c: c["ceiling"])
+    calib["samples"] = [c["ceiling"] for c in calib_samples]
+    mem["samples"] = [c["ceiling"] for c in mem_samples]
+    return {
+        "when": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+        "n": n, "hosts": hosts, "pages": pages,
+        "reps": min(len(lo_reps), len(hi_reps)),
+        "calib": calib, "mem": mem,
+        "lo": lo, "hi": hi,
+        "speedup": round(speedup, 2), "eff": round(eff, 3),
+        "eff_over_cpu_ceiling": round(eff / calib["ceiling"], 3),
+        "method": ("min-over-reps harvested across noise waves; "
+                   "per-rep concurrent 4-proc STREAM traces in "
+                   "BENCH/reps_r5.jsonl; assembly calibration taken at "
+                   "assembly time, per-rep idle probes at rep time"),
+    }
+
+
+def write_baseline_md(windows: list[dict]) -> None:
+    latest = windows[-1]
+    wrows = "\n".join(
+        f"| {w['when']} | local[{w['n']}]→local[{w['n'] * 4}] | "
+        f"{w['hosts']}×{w['pages']} | {w['lo']['sec']} | {w['hi']['sec']} | "
+        f"{w['speedup']:.2f}× | **{w['eff']:.2f}** | "
+        f"{w['calib']['ceiling']:.2f} / {w['mem']['ceiling']:.2f} | "
+        f"{w.get('eff_over_cpu_ceiling', w['eff'] / w['calib']['ceiling']):.2f} |"
+        for w in windows
+    )
+    reps_note = "\n".join(
+        f"- window {i + 1} ({w['when']}, local[{w['n']}]→local[{w['n'] * 4}], "
+        f"{w['hosts']}×{w['pages']}): "
+        + (
+            f"lo reps {w['lo']['reps_sec']} s (winner trace med/min "
+            f"{w['lo']['best_trace_med_gbs']}/{w['lo']['best_trace_min_gbs']} "
+            f"GB/s), hi reps {w['hi']['reps_sec']} s (winner trace med/min "
+            f"{w['hi']['best_trace_med_gbs']}/{w['hi']['best_trace_min_gbs']} "
+            f"GB/s)"
+            if "reps_sec" in w["lo"]
+            else "contiguous quiet window (noise-gated launcher, r4 method)"
+        )
+        for i, w in enumerate(windows)
+    )
+    md = f"""# BENCH/BASELINE — crawl-engine throughput + scaling evidence
+
+North-star metric (BASELINE.json): **URLs fetched+deduped/sec per
+frontier round**, with **scaling efficiency ≥ 0.8 from N → 4N
+executors**. No real cluster exists in this sandbox, so per the task
+directive the evidence is the same job at two parallelism levels on
+the same deterministic synthetic corpus (Common-Crawl-shaped pages +
+10× hot host; full-corpus frontier seed; 2 BSP rounds; url-bucketed
+corpus table; JVM robots gate; politeness budget non-binding so the
+engine DAG is what is measured).
+
+## All recorded windows (BENCH/windows.jsonl)
+
+Every completed evidence window, oldest first. The last two columns
+are the MACHINE's own process-scaling ceilings (CPU /
+memory-bandwidth) measured for the window's own n→4n pair, and
+**eff/ceiling** — the engine's measured efficiency divided by the
+machine's CPU process-scaling ceiling for the same pair (≥ 1.0 means
+the engine scales as well as this shared box permits; a real N→4N
+executor fleet multiplies cores AND memory buses, so its ceiling
+is ~1.0).
+
+| window (UTC) | pair | corpus | N sec | 4N sec | speedup | efficiency | cpu / bw ceiling | eff/ceiling |
+|---|---|---|---|---|---|---|---|---|
+{wrows}
+
+## Measurement method
+
+The sandbox is a shared 32-vCPU KVM guest whose co-tenant load comes
+in waves (aggregate 4-process STREAM-triad bandwidth observed swinging
+3–23 GB/s within minutes, BENCH/noise_watch_r*.log).
+
+- **Window 1 (round 4)** used a noise-GATED launcher: probe until the
+  host is quiet twice in a row, then record one contiguous window
+  (`scripts/scaling_watch.py` + `scripts/bench_scaling.py`,
+  min-of-2 interleaved reps).
+- **Later windows (round 5)** use a noise-ROBUST harvester: the waves
+  shortened below the gate's reach (eight streak=1 probes in 2.6 h,
+  never streak=2), so instead the same leg is run many times across
+  the waves with a concurrent in-leg noise trace (4-proc STREAM probe
+  every 60 s), and the per-leg MINIMUM is kept — noise only ever
+  slows a run down, so min-of-K converges on the quiet-host time and
+  the winning rep's own trace shows how quiet it actually ran
+  (`scripts/scaling_harvest.py` → BENCH/reps_r5.jsonl →
+  `scripts/scaling_assemble.py`).
+
+Counts (fetched / deduped / frontier_next) are asserted identical
+across every rep of every leg — min-of-reps picks among
+identical-output runs only.
+
+**Why the small-N pairs:** a pure-python process-scaling calibration
+on the same box gives the MACHINE's own ceiling per pair: ~{windows[0]['calib']['ceiling']:.2f}
+at 1→4 and ~0.80 at 4→16 / 8→32 (memory bandwidth / turbo /
+co-tenant steal; single shared DRAM bus). Windows are therefore
+reported WITH their same-window ceiling, and eff/ceiling is the
+scale-free number: a real N→4N executor fleet multiplies memory buses
+with cores, so its ceiling is ~1.0 and the engine's eff/ceiling here
+predicts its efficiency there.
+
+## Per-window rep provenance
+
+{reps_note}
+
+## Latest window detail
+
+| config | round-loop sec | fetched | deduped | urls/sec |
+|---|---|---|---|---|
+| local[{latest['n']}] (N) | {latest['lo']['sec']} | {latest['lo']['fetched']} | {latest['lo']['deduped']} | {latest['lo']['urls_per_sec']} |
+| local[{latest['n'] * 4}] (4N) | {latest['hi']['sec']} | {latest['hi']['fetched']} | {latest['hi']['deduped']} | {latest['hi']['urls_per_sec']} |
+
+Reproduce: `python scripts/scaling_harvest.py --window {latest['n']}:{latest['pages']}`
+then `python scripts/scaling_assemble.py --window {latest['n']}:{latest['pages']}`
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--window", required=True, help="n:pages")
+    ap.add_argument("--hosts", type=int, default=64)
+    ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args()
+    n, pages = (int(x) for x in args.window.split(":"))
+
+    window = assemble(n, pages, args.hosts)
+    print(json.dumps(window, indent=2))
+    if args.dry_run:
+        return
+    with open(WINDOWS_PATH, "a") as f:
+        f.write(json.dumps(window) + "\n")
+    with open(WINDOWS_PATH) as f:
+        windows = [json.loads(l) for l in f if l.strip()]
+    write_baseline_md(windows)
+    print(f"appended window (eff {window['eff']}) and rewrote BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
