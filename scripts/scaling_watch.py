@@ -39,6 +39,13 @@ def busy_with_own_work() -> bool:
         ["ps", "ax", "-o", "args="], capture_output=True, text=True
     ).stdout
     for line in out.splitlines():
+        # shell wrappers quote entire scripts into their argv — a bash -c
+        # whose TEXT mentions bench.py is not a running bench (matching it
+        # self-deadlocked the harvester against its own launcher once)
+        stripped = line.lstrip()
+        if stripped.startswith(("bash", "/bin/bash", "sh ", "/bin/sh",
+                                "-bash", "nohup")):
+            continue
         if "pytest" in line or "profile_crawl" in line:
             return True
         if "bench.py" in line or "microbench" in line:
