@@ -18,6 +18,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
@@ -29,10 +30,42 @@ REPS_PATH = os.environ.get(
 WINDOWS_PATH = os.path.join(REPO, "BENCH", "windows.jsonl")
 
 
+def _steal_over(when_end: str, wall: float) -> Optional[float]:
+    """Mean KVM steal%% over a rep's interval, from the background
+    steal logger (BENCH/steal_log_r5.txt), if it covers the interval."""
+    import datetime as dt
+
+    path = os.path.join(REPO, "BENCH", "steal_log_r5.txt")
+    if not os.path.exists(path):
+        return None
+    try:
+        end = dt.datetime.strptime(when_end, "%Y-%m-%d %H:%M:%S UTC")
+    except ValueError:
+        return None
+    start = end - dt.timedelta(seconds=wall)
+    vals = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 5 or parts[3] != "steal_pct":
+                continue
+            try:
+                t = dt.datetime.strptime(
+                    f"{parts[0]} {parts[1]}", "%Y-%m-%d %H:%M:%S")
+                v = float(parts[4])
+            except ValueError:
+                continue
+            if start <= t <= end:
+                vals.append(v)
+    return round(sum(vals) / len(vals), 2) if vals else None
+
+
 def leg_summary(reps: list[dict]) -> dict:
     """Pick the min-sec rep; carry every rep's sec + the winner's trace."""
     best = min(reps, key=lambda r: r["crawl"]["sec"])
+    steal = _steal_over(best["when"], best["wall"])
     return {
+        **({"best_steal_pct": steal} if steal is not None else {}),
         **best["crawl"],
         "reps_sec": sorted(r["crawl"]["sec"] for r in reps),
         "best_when": best["when"],
@@ -69,6 +102,11 @@ def assemble(n: int, pages: int, hosts: int) -> dict:
     mem = max(mem_samples, key=lambda c: c["ceiling"])
     calib["samples"] = [c["ceiling"] for c in calib_samples]
     mem["samples"] = [c["ceiling"] for c in mem_samples]
+    # a noise wave hitting the lo half of a calibration sample can push
+    # the measured ratio past 1.0, which no machine delivers — cap at
+    # the physical ceiling (still the least generous denominator)
+    calib["ceiling"] = min(calib["ceiling"], 1.0)
+    mem["ceiling"] = min(mem["ceiling"], 1.0)
     return {
         "when": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
         "n": n, "hosts": hosts, "pages": pages,
