@@ -132,6 +132,30 @@ def crawl_bench(spark, hosts: int, pages_per_host: int) -> dict:
     eng.run(seeds_df=seeds_df)
     wall = time.time() - t0
 
+    # Per-round wall times, derived from the commit files' mtimes (the
+    # commit rename is the last act of a round — engine.py:1042): round
+    # r's cost = commit(r) - commit(r-1), with t0 opening round 0. Used
+    # by the scaling assembler's per-round-minimum estimator: each round
+    # is the same deterministic computation across reps (counts
+    # asserted identical), so min-over-reps per ROUND needs only a
+    # round-sized quiet stretch on the shared host, not a leg-sized one.
+    round_secs = []
+    try:
+        commit_dir = os.path.join(wh, "_commits")
+        mtimes = sorted(
+            (int(f[1:].split(".")[0]), os.path.getmtime(
+                os.path.join(commit_dir, f)))
+            for f in os.listdir(commit_dir)
+            if f.startswith("r") and f.endswith(".json")
+            and not f.startswith("r-")  # r-1 = history-floor marker
+        )
+        prev = t0
+        for _, mt in mtimes:
+            round_secs.append(round(mt - prev, 2))
+            prev = mt
+    except OSError:
+        pass
+
     last = eng.store.last_committed()
     metrics = {}
     for r in eng.store.read_metrics(last).collect():
@@ -145,6 +169,7 @@ def crawl_bench(spark, hosts: int, pages_per_host: int) -> dict:
     return {
         "sec": round(wall, 2),
         "rounds": int(last) + 1 if last is not None else 0,
+        "round_secs": round_secs,
         "fetched": fetched,
         "deduped": deduped,
         "urls_per_sec": round((fetched + deduped) / wall, 1),
