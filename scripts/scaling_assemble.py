@@ -65,13 +65,18 @@ def _roundmin(reps: list[dict]) -> Optional[dict]:
     deterministic computation across reps (counts asserted identical),
     so min-over-reps per ROUND bounds the quiet-host cost of that round
     needing only a round-sized quiet stretch; the sum bounds the job.
-    Uses the reps that carry bench.py's commit-mtime round_secs."""
+    Uses the reps that carry bench.py's commit-mtime round_secs. The
+    whole-leg minimum is itself a sum of rounds (all from one rep), so
+    the leg's quiet-cost bound is the tighter of the two — reps without
+    round splits can still win the bound via their total."""
     series = [r["crawl"]["round_secs"] for r in reps
               if r["crawl"].get("round_secs")]
     if not series or len({len(s) for s in series}) != 1:
         return None
+    whole = min(r["crawl"]["sec"] for r in reps)
     mins = [round(min(col), 2) for col in zip(*series)]
-    return {"rounds_min": mins, "sec_roundmin": round(sum(mins), 2),
+    return {"rounds_min": mins,
+            "sec_roundmin": round(min(sum(mins), whole), 2),
             "n_reps": len(series)}
 
 
