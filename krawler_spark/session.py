@@ -58,6 +58,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Opt-in Spark event log (KS_EVENTLOG_DIR): scripts/busy_fraction.py
+    # post-processes it into an executor-busy fraction — the direct
+    # measurement that the driver does not serialize the round loop at
+    # real task counts (scaling-evidence provenance, BENCH/BASELINE.md).
+    evlog = os.environ.get("KS_EVENTLOG_DIR")
+    if evlog:
+        os.makedirs(evlog, exist_ok=True)
+        b = (
+            b.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", evlog)
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
