@@ -199,6 +199,23 @@ def _busy_section() -> str:
             f"so the inflation term → 1 and the busy fractions are what "
             f"remain: ~{min(r4['busy_frac'], r16['busy_frac']):.2f}.\n"
         )
+        if 32 in by_cores:
+            r32 = by_cores[32]
+            infl += (
+                f"\nAt local[32] — every vCPU of the guest — the driver "
+                f"still kept cores {r32['busy_frac']:.0%} busy "
+                f"({r32['n_tasks']} tasks, "
+                f"{r32['gaps_over_1s']['total_sec']}s of all-idle gaps in "
+                f"{r32['span_sec']}s), while wall time barely moved vs 16 "
+                f"cores ({r16['crawl_sec']}→{r32['crawl_sec']}s on the "
+                f"instrumented legs): past ~16 processes the guest's DRAM "
+                f"bus is saturated (aggregate STREAM-triad plateaus, "
+                f"`mem_calibration`), so extra local cores add stalled "
+                f"cycles, not throughput. An 8→32 wall-clock window on "
+                f"this box would measure exactly that plateau — which is "
+                f"why the wall-clock windows stop at the 4→16 pair and "
+                f"the 32-core evidence is scheduler-health, not speedup.\n"
+            )
     return f"""
 ## Driver-serialization evidence (event-log instrumented legs)
 
@@ -349,10 +366,20 @@ then `python scripts/scaling_assemble.py --window {latest['n']}:{latest['pages']
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--window", required=True, help="n:pages")
+    ap.add_argument("--window", help="n:pages")
     ap.add_argument("--hosts", type=int, default=64)
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--regen", action="store_true",
+                    help="rewrite BASELINE.md from recorded windows only")
     args = ap.parse_args()
+    if args.regen:
+        with open(WINDOWS_PATH) as f:
+            windows = [json.loads(l) for l in f if l.strip()]
+        write_baseline_md(windows)
+        print(f"rewrote BASELINE.md from {len(windows)} windows")
+        return
+    if not args.window:
+        ap.error("--window required unless --regen")
     n, pages = (int(x) for x in args.window.split(":"))
 
     window = assemble(n, pages, args.hosts)
