@@ -129,6 +129,51 @@ def test_resume_no_refetch(spark, tmp_path):
     assert len(urls) == len(set(urls))
 
 
+def test_resume_after_midround_crash(spark, tmp_path):
+    """north_rule: a job killed MID-round resumes with no re-fetches
+    and no URL-seen false negatives. Forge the exact torn state a
+    kill between the delta write and the commit-marker rename leaves
+    behind — an uncommitted delta dir containing a half-written
+    parquet part — and require the resumed crawl to (a) not trip
+    partition discovery on the torn file and (b) reproduce the
+    uninterrupted run's visited set with every url fetched once."""
+    import os
+    import shutil
+
+    rows, _ = _corpus()
+    cfg_full = CrawlConfig(deterministic_history_ids=True, max_depth=3, round_seconds=1.0)
+
+    eng_full = _run_engine(spark, str(tmp_path / "w1"), rows, cfg_full)
+    full_vis = _visited_key([r.asDict() for r in eng_full.visited().collect()])
+
+    # two committed rounds...
+    wh = str(tmp_path / "w2")
+    cfg_cut = CrawlConfig(deterministic_history_ids=True, max_depth=3, round_seconds=1.0, max_rounds=2)
+    _run_engine(spark, wh, rows, cfg_cut)
+    store = SnapshotStore(spark, wh)
+    assert store.last_committed() == 1
+    # ...then a round-2 attempt that died mid-write: real parquet rows
+    # (cloned from round 1's delta) plus a torn half-file, no marker
+    src = store._table_dir("delta", 1)
+    dst = store._table_dir("delta", 2)
+    shutil.copytree(src, dst)
+    kind_dir = next(
+        os.path.join(dst, d) for d in sorted(os.listdir(dst))
+        if d.startswith("kind=")
+    )
+    with open(os.path.join(kind_dir, "part-99999-torn.parquet"), "wb") as f:
+        f.write(b"PAR1\x00half-written by a killed executor")
+    assert store.last_committed() == 1  # marker never landed
+
+    eng_resumed = _run_engine(
+        spark, wh, rows, cfg_full, resume=True
+    )
+    res_vis = [r.asDict() for r in eng_resumed.visited().collect()]
+    assert _visited_key(res_vis) == full_vis
+    urls = [r["url"] for r in res_vis]
+    assert len(urls) == len(set(urls))  # no re-fetches
+
+
 @pytest.mark.slow
 def test_bloom_and_exact_paths_agree(spark, tmp_path):
     rows, _ = _corpus()
