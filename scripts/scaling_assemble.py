@@ -216,6 +216,25 @@ def _busy_section() -> str:
                 f"why the wall-clock windows stop at the 4→16 pair and "
                 f"the 32-core evidence is scheduler-health, not speedup.\n"
             )
+    ceiling_md = ""
+    cpath = os.path.join(REPO, "BENCH", "spark_ceiling_r5.json")
+    if os.path.exists(cpath):
+        with open(cpath) as f:
+            c = json.load(f)
+        ceiling_md = (
+            f"\n**Spark-shaped ceiling for the same pair**: a reference "
+            f"Spark job with zero python, zero skew, and zero inter-stage "
+            f"driver work ({c['job'].split(';')[0]}) scales "
+            f"{c['pair'].replace('->', '→')} at "
+            f"**{c['min_legs']['ceiling']:.2f}** on this box "
+            f"(min-of-{len(c['reps'])} legs, per-rep ceilings "
+            f"{sorted(r['ceiling'] for r in c['reps'])}), with "
+            f"{c['task_core_sec_inflation']}× task core-second inflation "
+            f"of its own — embarrassingly parallel Spark work cannot beat "
+            f"~0.7 on this pair either (`scripts/spark_ceiling.py`, "
+            f"`BENCH/spark_ceiling_r5.json`). The engine's window sits at "
+            f"its heavier-bandwidth-profile share of that ceiling.\n"
+        )
     return f"""
 ## Driver-serialization evidence (event-log instrumented legs)
 
@@ -229,7 +248,7 @@ round loop.
 | config | corpus | crawl sec | tasks | task core-sec | busy frac | gc frac | all-idle gaps >1s |
 |---|---|---|---|---|---|---|---|
 {body}
-{infl}"""
+{infl}{ceiling_md}"""
 
 
 def write_baseline_md(windows: list[dict]) -> None:
