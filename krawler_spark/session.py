@@ -42,7 +42,15 @@ def get_spark(
         # mode measurably (≈1.5× on the window-dedup microbench,
         # scripts/micro_window.py); ParallelGC matches the batch-job
         # profile. On a real cluster this is an executor JVM flag.
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # KS_GC overrides for A/B runs (event logs put GC at 6-22% of
+        # core-time depending on parallelism — worth re-measuring on
+        # the full crawl loop when the JVM or heap sizing changes).
+        .config(
+            "spark.driver.extraJavaOptions",
+            {"g1": "-XX:+UseG1GC", "zgc": "-XX:+UseZGC -XX:+ZGenerational"}.get(
+                os.environ.get("KS_GC", "").lower(), "-XX:+UseParallelGC"
+            ),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
