@@ -95,7 +95,11 @@ def run_bench(cpus: int, hosts: int, pages: int) -> dict:
         KS_BENCH_CRAWL_ONLY="1",  # scaling measures the round loop only
         KS_BENCH_CRAWL_REPS="1",  # this script reps + mins at its own level
         # multi-million-row rounds cache GBs; a small heap evicts cached
-        # blocks mid-query under memory pressure
+        # blocks mid-query under memory pressure. Measured caveat (r5):
+        # at local[32] a 40g ParallelGC heap is ~30-35% SLOWER than 12g
+        # (allocation-rate × huge-young-gen churn); at 1-16 cores the
+        # sizes are within run-to-run variance. All legs of a window
+        # must share one heap size — override via SPARK_DRIVER_MEMORY.
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "40g"),
         # shuffle + warehouse on tmpfs: on a real cluster local disk
         # bandwidth scales with executor count; the sandbox's single

@@ -99,6 +99,12 @@ def run_leg(cpus: int, hosts: int, pages: int, probe_sec: float) -> dict:
         "cpus": cpus,
         "hosts": hosts,
         "pages": pages,
+        # JVM provenance: heap size and GC are part of a rep's identity
+        # (see bench_scaling.py's heap-size caveat)
+        "jvm": {
+            "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "40g"),
+            "gc": os.environ.get("KS_GC", "parallel") or "parallel",
+        },
         "crawl": r["crawl"],
         "wall": round(time.time() - t0, 1),
         "idle_probe": idle,
