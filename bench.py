@@ -124,6 +124,12 @@ def crawl_bench(spark, hosts: int, pages_per_host: int) -> dict:
         # payloads (onRepeatVisit is a no-op unless overridden; the
         # fetched/deduped counts this bench reports are unaffected)
         record_repeat_events=False,
+        # the bench corpus IS a url-bucketed table (bucketBy(32,"url")
+        # above) — skip the harvest respread's payload re-shuffle.
+        # Env-toggleable (KS_BENCH_CORPUS_BUCKETED=0) for A/B-measuring
+        # the respread's cost; the flag is echoed in this bench's output
+        # so scaling reps self-describe which harvest path they ran.
+        corpus_bucketed=os.environ.get("KS_BENCH_CORPUS_BUCKETED", "1") != "0",
     )
     wh = tempfile.mkdtemp(prefix="ks_bench_wh_")
     eng = CrawlEngine(spark, pages, config=cfg, warehouse=wh)
@@ -174,6 +180,10 @@ def crawl_bench(spark, hosts: int, pages_per_host: int) -> dict:
         "deduped": deduped,
         "urls_per_sec": round((fetched + deduped) / wall, 1),
         "frontier_next": int(metrics.get("frontier_next", 0)),
+        # harvest-path provenance: reps with and without the respread
+        # skip are not the same computation shape (one fewer full
+        # payload shuffle per round when bucketed)
+        "corpus_bucketed": cfg.corpus_bucketed,
     }
 
 

@@ -54,6 +54,16 @@ class CrawlConfig:
     use_bloom: bool = True
     frontier_partitions: int = 32       # hash(host) shards ≈ ScheduledQueue's 10 queues
     host_salt: int = 1                  # >1 = salted two-phase politeness rank (hot hosts)
+    # The corpus/pages table is bucketed by url (Iceberg bucket(url)
+    # transform or a bucketed Hive table). When True the harvest stage
+    # trusts the payload join's bucket partitioning — url-hash-uniform
+    # and ≥ bucket-count tasks — and SKIPS its de-skew repartition,
+    # saving one full shuffle of the round's fetched html per round
+    # (the dominant byte mover at 10^10-URL scale). Leave False for
+    # ad-hoc/unbucketed corpora, where a broadcast fetch join can leave
+    # the payload scan-partitioned (host-clumped files → one python
+    # worker serializing a hot host's pages).
+    corpus_bucketed: bool = False
     # Materialize repeat_visit event rows (the onRepeatVisit hook's
     # payload, Krawler.kt:168-172). Default ON for reference-semantics
     # parity; a 10^10-URL frontier crawl turns this OFF — in steady

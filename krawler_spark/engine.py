@@ -868,7 +868,16 @@ class CrawlEngine:
             self.pages.select(F.col("url").alias("_eff"), "html"), "_eff", "inner"
         ).select(
             "url", "_eff", "html", "depth", "root_page_id"
-        ).repartition(spark.sparkContext.defaultParallelism * 2)
+        )
+        # De-skew respread before the python extraction stage — but NOT
+        # when the corpus is url-bucketed: the co-located join's output
+        # is already url-hash-uniform across >= bucket-count tasks, and
+        # this repartition would re-shuffle the round's entire fetched
+        # html payload for nothing (docs/SCALE.md, exchange ledger).
+        if not cfg.corpus_bucketed:
+            harvest_src = harvest_src.repartition(
+                spark.sparkContext.defaultParallelism * 2
+            )
         priority_expr = self.priority_expr
 
         def _harvest(batches: Iterator) -> Iterator:

@@ -97,11 +97,18 @@ def leg_summary(reps: list[dict]) -> dict:
     }
 
 
-def assemble(n: int, pages: int, hosts: int) -> dict:
+def assemble(n: int, pages: int, hosts: int, bucketed: bool = False) -> dict:
     with open(REPS_PATH) as f:
         reps = [json.loads(l) for l in f if l.strip()]
+    # One harvest-path generation per window: reps with the bucketed
+    # harvest (corpus_bucketed=True skips the respread shuffle — bench
+    # echoes the flag into crawl) are a different computation shape
+    # than respread-era reps (which predate the flag, so absent=False).
+    # Min-ing across generations could hand one leg the fast path and
+    # the other the slow one, skewing the ratio.
     reps = [r for r in reps if r["pages"] == pages and r["hosts"] == hosts
-            and r["cpus"] in (n, n * 4)]
+            and r["cpus"] in (n, n * 4)
+            and bool(r["crawl"].get("corpus_bucketed", False)) == bucketed]
     lo_reps = [r for r in reps if r["cpus"] == n]
     hi_reps = [r for r in reps if r["cpus"] == n * 4]
     if not lo_reps or not hi_reps:
@@ -132,6 +139,7 @@ def assemble(n: int, pages: int, hosts: int) -> dict:
     return {
         "when": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
         "n": n, "hosts": hosts, "pages": pages,
+        "harvest": "bucketed" if bucketed else "respread",
         "reps": min(len(lo_reps), len(hi_reps)),
         "calib": calib, "mem": mem,
         "lo": lo, "hi": hi,
@@ -390,6 +398,9 @@ def main() -> None:
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--regen", action="store_true",
                     help="rewrite BASELINE.md from recorded windows only")
+    ap.add_argument("--bucketed", action="store_true",
+                    help="assemble from bucketed-harvest-path reps only "
+                         "(default: respread-era reps only)")
     args = ap.parse_args()
     if args.regen:
         with open(WINDOWS_PATH) as f:
@@ -401,7 +412,7 @@ def main() -> None:
         ap.error("--window required unless --regen")
     n, pages = (int(x) for x in args.window.split(":"))
 
-    window = assemble(n, pages, args.hosts)
+    window = assemble(n, pages, args.hosts, bucketed=args.bucketed)
     print(json.dumps(window, indent=2))
     if args.dry_run:
         return

@@ -129,6 +129,22 @@ def test_resume_no_refetch(spark, tmp_path):
     assert len(urls) == len(set(urls))
 
 
+def test_bucketed_harvest_path_equivalent(spark, tmp_path):
+    """corpus_bucketed=True only changes the harvest stage's physical
+    distribution (skips the de-skew respread); every output must be
+    identical to the default path regardless of the corpus's actual
+    layout."""
+    rows, pages_dict = _corpus()
+    cfg = CrawlConfig(deterministic_history_ids=True, max_depth=3, round_seconds=1.0)
+    cfg_b = CrawlConfig(deterministic_history_ids=True, max_depth=3, round_seconds=1.0,
+                        corpus_bucketed=True)
+    e1 = _run_engine(spark, str(tmp_path / "a"), rows, cfg)
+    e2 = _run_engine(spark, str(tmp_path / "b"), rows, cfg_b)
+    v1 = _visited_key([r.asDict() for r in e1.visited().collect()])
+    v2 = _visited_key([r.asDict() for r in e2.visited().collect()])
+    assert v1 == v2
+
+
 def test_resume_after_midround_crash(spark, tmp_path):
     """north_rule: a job killed MID-round resumes with no re-fetches
     and no URL-seen false negatives. Forge the exact torn state a
