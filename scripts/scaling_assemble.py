@@ -263,7 +263,8 @@ def write_baseline_md(windows: list[dict]) -> None:
     latest = windows[-1]
     wrows = "\n".join(
         f"| {w['when']} | local[{w['n']}]→local[{w['n'] * 4}] | "
-        f"{w['hosts']}×{w['pages']} | {w['lo']['sec']} | {w['hi']['sec']} | "
+        f"{w['hosts']}×{w['pages']} ({w.get('harvest', 'respread')}) | "
+        f"{w['lo']['sec']} | {w['hi']['sec']} | "
         f"{w['speedup']:.2f}× | **{w['eff']:.2f}** | "
         + (f"{w['eff_roundmin']:.2f} | " if "eff_roundmin" in w else "— | ")
         + f"{w['calib']['ceiling']:.2f} / {w['mem']['ceiling']:.2f} | "
@@ -272,7 +273,8 @@ def write_baseline_md(windows: list[dict]) -> None:
     )
     reps_note = "\n".join(
         f"- window {i + 1} ({w['when']}, local[{w['n']}]→local[{w['n'] * 4}], "
-        f"{w['hosts']}×{w['pages']}): "
+        f"{w['hosts']}×{w['pages']}, {w.get('harvest', 'respread')} harvest "
+        f"path): "
         + (
             f"lo reps {w['lo']['reps_sec']} s (winner trace med/min "
             f"{w['lo']['best_trace_med_gbs']}/{w['lo']['best_trace_min_gbs']} "
@@ -304,7 +306,12 @@ memory-bandwidth) measured for the window's own n→4n pair, and
 machine's CPU process-scaling ceiling for the same pair (≥ 1.0 means
 the engine scales as well as this shared box permits; a real N→4N
 executor fleet multiplies cores AND memory buses, so its ceiling
-is ~1.0).
+is ~1.0). The corpus column also names the harvest computation shape:
+*respread* reps predate the bucketed-corpus fast path (they re-shuffle
+the round's fetched payload before extraction); *bucketed* reps skip
+that respread because the corpus is a url-bucketed table (the 10^10-URL
+deployment shape, `CrawlConfig.corpus_bucketed`). A window's legs are
+always min'd within ONE shape.
 
 | window (UTC) | pair | corpus | N sec | 4N sec | speedup | efficiency | eff (round-min) | cpu / bw ceiling | eff/ceiling |
 |---|---|---|---|---|---|---|---|---|---|
