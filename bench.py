@@ -83,6 +83,14 @@ def crawl_bench(spark, hosts: int, pages_per_host: int) -> dict:
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             (
                 spark.read.parquet(corpus_dir)
+                # ONE file per bucket: repartition by the same hash
+                # bucketBy uses, so each write task holds exactly one
+                # bucket. With >1 file per bucket Spark cannot trust
+                # the SORTED BY property and silently re-sorts the
+                # entire payload corpus inside every round's SMJ —
+                # measured 3.2× crawl wall at local[32] (85s vs 22s
+                # round 1) before this fix.
+                .repartition(32, F.col("url"))
                 .write.bucketBy(32, "url").sortBy("url")
                 .option("path", tbl_dir).saveAsTable(tbl)
             )
@@ -125,11 +133,16 @@ def crawl_bench(spark, hosts: int, pages_per_host: int) -> dict:
         # fetched/deduped counts this bench reports are unaffected)
         record_repeat_events=False,
         # the bench corpus IS a url-bucketed table (bucketBy(32,"url")
-        # above) — skip the harvest respread's payload re-shuffle.
-        # Env-toggleable (KS_BENCH_CORPUS_BUCKETED=0) for A/B-measuring
-        # the respread's cost; the flag is echoed in this bench's output
-        # so scaling reps self-describe which harvest path they ran.
-        corpus_bucketed=os.environ.get("KS_BENCH_CORPUS_BUCKETED", "1") != "0",
+        # above), and corpus_bucketed=True skips the harvest respread's
+        # payload re-shuffle — it shuffles 2.6× fewer bytes (measured,
+        # scripts/shuffle_bytes.py) but fusing the python extraction
+        # into the 32-task bucketed-join stage costs 3× crawl WALL at
+        # local[32] (85s vs 22s round 1, quiet host): at bucket-count ≈
+        # core-count the fused stage loses the respread's post-exchange
+        # rebalance. Default OFF here so the headline bench measures
+        # the faster plan at this box's shape; KS_BENCH_CORPUS_BUCKETED=1
+        # opts in (the shape is echoed in the output either way).
+        corpus_bucketed=os.environ.get("KS_BENCH_CORPUS_BUCKETED", "0") == "1",
     )
     wh = tempfile.mkdtemp(prefix="ks_bench_wh_")
     eng = CrawlEngine(spark, pages, config=cfg, warehouse=wh)
