@@ -309,9 +309,15 @@ executor fleet multiplies cores AND memory buses, so its ceiling
 is ~1.0). The corpus column also names the harvest computation shape:
 *respread* reps predate the bucketed-corpus fast path (they re-shuffle
 the round's fetched payload before extraction); *bucketed* reps skip
-that respread because the corpus is a url-bucketed table (the 10^10-URL
-deployment shape, `CrawlConfig.corpus_bucketed`). A window's legs are
-always min'd within ONE shape.
+that respread because the corpus is a url-bucketed table
+(`CrawlConfig.corpus_bucketed`). A window's legs are always min'd
+within ONE shape. Post-measurement note: the bucketed skip shuffles
+2.6× fewer bytes (`scripts/shuffle_bytes.py`) but at bucket-count ≈
+core-count the fused join+extraction stage loses the respread's
+post-exchange rebalance and costs MORE wall (3.2× at local[32] on a
+quiet host), so the bench default reverted to respread — the bucketed
+window rows below measure the slower shape and are kept for the
+record, not as the headline.
 
 | window (UTC) | pair | corpus | N sec | 4N sec | speedup | efficiency | eff (round-min) | cpu / bw ceiling | eff/ceiling |
 |---|---|---|---|---|---|---|---|---|---|
