@@ -869,11 +869,19 @@ class CrawlEngine:
         ).select(
             "url", "_eff", "html", "depth", "root_page_id"
         )
-        # De-skew respread before the python extraction stage — but NOT
-        # when the corpus is url-bucketed: the co-located join's output
-        # is already url-hash-uniform across >= bucket-count tasks, and
-        # this repartition would re-shuffle the round's entire fetched
-        # html payload for nothing (docs/SCALE.md, exchange ledger).
+        # De-skew respread before the python extraction stage. The
+        # corpus_bucketed=True skip assumes the co-located join's output
+        # stays url-hash-uniform across >= bucket-count tasks — measured
+        # caveat (r5, event-log task ledger): the optimizer does NOT
+        # guarantee that shape. At small payload sizes AQE replans the
+        # fetch join so the extraction's stream side is a byte-based
+        # file split (25 MB of fetched pages -> ONE task ran the whole
+        # round's python extraction: 73s of a 90s round at local[32]).
+        # The respread costs one payload shuffle but guarantees
+        # extraction parallelism under every plan the optimizer picks,
+        # so it stays the default; enable the skip only after checking
+        # the executed plan keeps the join output bucket-partitioned
+        # (scripts/shuffle_bytes.py + a stage-task ledger, docs/SCALE.md).
         if not cfg.corpus_bucketed:
             harvest_src = harvest_src.repartition(
                 spark.sparkContext.defaultParallelism * 2

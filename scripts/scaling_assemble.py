@@ -312,12 +312,14 @@ the round's fetched payload before extraction); *bucketed* reps skip
 that respread because the corpus is a url-bucketed table
 (`CrawlConfig.corpus_bucketed`). A window's legs are always min'd
 within ONE shape. Post-measurement note: the bucketed skip shuffles
-2.6× fewer bytes (`scripts/shuffle_bytes.py`) but at bucket-count ≈
-core-count the fused join+extraction stage loses the respread's
-post-exchange rebalance and costs MORE wall (3.2× at local[32] on a
-quiet host), so the bench default reverted to respread — the bucketed
-window rows below measure the slower shape and are kept for the
-record, not as the headline.
+2.6× fewer bytes (`scripts/shuffle_bytes.py`) but its premise — that
+the join output stays bucket-partitioned — is not guaranteed by the
+optimizer: the per-task ledger shows AQE replanning the fetch join so
+ONE byte-based file split carried the whole round's python extraction
+(3.2× crawl wall at local[32], quiet host). The bench default
+reverted to respread; the bucketed window rows below measure the
+slower shape and are kept for the record, not as the headline
+(docs/SCALE.md, de-skew section).
 
 | window (UTC) | pair | corpus | N sec | 4N sec | speedup | efficiency | eff (round-min) | cpu / bw ceiling | eff/ceiling |
 |---|---|---|---|---|---|---|---|---|---|
