@@ -186,7 +186,15 @@ def q_link_explode(spark, sf_dir):
     graph in SQL (Krawler.kt:460-481 semantics)."""
     from krawler_spark.functions.extract import extract_links_frame
 
-    pages = _corpus_from_documents(spark, sf_dir).select("url", "html")
+    # restrict_docs=50: the join below keeps exactly the doc_id<50
+    # pages (urls are unique per doc_id), but that filter cannot push
+    # through the html-building mapInPandas — without the restriction
+    # the corpus pass built + text-extracted EVERY document's page to
+    # use 50 of them (4.0s of the r5 sf1.0 bench). n_docs stays the
+    # full count, so the produced pages (link arithmetic) and the join
+    # result are unchanged.
+    pages = _corpus_from_documents(spark, sf_dir, restrict_docs=50).select(
+        "url", "html")
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50).select(
         "doc_id",
         F.concat(F.lit("http://www.host-"), (F.col("doc_id") % 7).cast("string"),
@@ -416,7 +424,11 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    return T.cosine_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+    # dim=64 (the corpus embedding width): codegen-unrolled dot with
+    # per-row hoisted norms — bit-equal to the interpreted fold (same
+    # op order), ~10x less per-pair cost on the corpus pass.
+    return T.cosine_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5,
+                         dim=64)
 
 
 def q_ann_lsh_bucketed(spark, sf_dir):
@@ -424,6 +436,10 @@ def q_ann_lsh_bucketed(spark, sf_dir):
 
 
 def q_emb_neardup_pairs(spark, sf_dir):
+    # arrow=True (default): numpy block scoring with a GEMM prefilter
+    # and an exact same-op-order recompute; round+threshold stay in the
+    # JVM. The JVM pair join evaluated the cosine expression per pair —
+    # 85s of the r5 sf1.0 bench (20M within-label pairs) vs ~2s here.
     return T.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.25)
 
 
@@ -986,16 +1002,28 @@ def _doc_page(doc_id: int, text, n_docs: int):
     return url, html
 
 
-def _corpus_from_documents(spark, sf_dir, limit_docs=None):
+def _corpus_from_documents(spark, sf_dir, limit_docs=None, restrict_docs=None):
     """Synthesize a pages corpus FROM the driver's documents table:
     deterministic host/url per doc_id, html wrapping the doc text plus
-    arithmetic out-links, text = engine extraction of that html."""
+    arithmetic out-links, text = engine extraction of that html.
+
+    ``limit_docs`` shrinks the corpus itself (n_docs, and thus every
+    page's link arithmetic, follows). ``restrict_docs`` only restricts
+    WHICH pages are materialized — n_docs stays the full-table count,
+    so each produced page is byte-identical to the unrestricted run's:
+    a consumer that only reads a doc_id-prefix of the corpus (e.g. the
+    link_explode query's 50-page join) can push that restriction below
+    the opaque html-building mapInPandas, which Spark's column/filter
+    pruning cannot see through (guide: the Python boundary defeats
+    pushdown — prune by hand before it)."""
     from krawler_spark.schemas import PAGES
 
     d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
     if limit_docs is not None:
         d = d.filter(F.col("doc_id") < limit_docs)
     n_docs = d.count()
+    if restrict_docs is not None:
+        d = d.filter(F.col("doc_id") < restrict_docs)
 
     def _gen(batches):
         import pandas as pd

