@@ -76,6 +76,11 @@ def get_spark(
         b = (
             b.config("spark.eventLog.enabled", "true")
             .config("spark.eventLog.dir", evlog)
+            # plain single-file v1 logs: busy_fraction.py/shuffle_bytes.py
+            # read them line-wise; this environment's defaults otherwise
+            # produce rolling zstd logs they cannot open
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
         )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
