@@ -52,6 +52,17 @@ def get_spark(
             ),
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Catalyst constraint propagation is O(n^2)-ish in plan width
+        # and runs on every action; the crawl round's 14-branch union
+        # DAG pays it repeatedly — measured ~1s/crawl of driver gap at
+        # local[32] (warm crawl 14.7-14.9s -> 13.7-13.9s with it off,
+        # counts identical; the engine's joins carry explicit
+        # null-safe keys, so the inferred-constraint plans don't
+        # change). KS_CONSTRAINT_PROP=1 restores the default.
+        .config(
+            "spark.sql.constraintPropagation.enabled",
+            "true" if os.environ.get("KS_CONSTRAINT_PROP") == "1" else "false",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
