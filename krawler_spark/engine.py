@@ -940,6 +940,7 @@ class CrawlEngine:
         def _harvest(batches: Iterator) -> Iterator:
             import pandas as pd
 
+            from .functions.extract import extract_hrefs
             from .functions.kanon import fast_child_canonical
 
             for pdf in batches:
@@ -948,29 +949,35 @@ class CrawlEngine:
                     pdf["url"], pdf["_eff"], pdf["html"], pdf["depth"], pdf["root_page_id"]
                 ):
                     page = parse_url(eff if isinstance(eff, str) else url)
+                    # child_seq(url, li) = crc32(f"{url}:{li}") — crc32 is
+                    # a streaming hash, so hash the parent prefix once and
+                    # continue with ":{li}" per link (bit-identical;
+                    # pinned by test_kanon.py::test_child_seq_streaming).
+                    url_crc = zlib.crc32(url.encode("utf-8"))
+                    root_i = int(root) if root is not None else None
+                    depth_i = int(depth)
                     li = 0
-                    for link in extract_links(html):
-                        href = link.href
+                    for href, kind in extract_hrefs(html):
                         if href.startswith("#") or len(href) > 2048:
                             continue
                         # string-based KrawlUrl.new(href, url) — the
                         # reference's harvest never passes anchor attrs
                         # (Krawler.kt:466), so rel=canonical raw-URL
                         # passthrough does NOT apply to children. Plain
-                        # relative/root-relative hrefs (the ~90% case)
-                        # take the byte-identical fast path; everything
-                        # else runs the full state machine.
+                        # relative/root-relative/simple-absolute hrefs
+                        # (the common case) take the byte-identical fast
+                        # path; everything else runs the state machine.
                         fast = fast_child_canonical(href, page)
                         if fast is not None:
                             canon, host = fast
                         else:
                             child = parse_url(href, page)
                             canon, host = child.canonical, child.host
-                        if link.kind == "anchor" and (canon == "http:///" or not canon.strip()):
+                        if kind == "anchor" and (canon == "http:///" or not canon.strip()):
                             continue
                         rows.append(
-                            (canon, host, int(root) if root is not None else None,
-                             url, int(depth) + 1, int(depth), child_seq(url, li))
+                            (canon, host, root_i, url, depth_i + 1, depth_i,
+                             zlib.crc32(b":%d" % li, url_crc))
                         )
                         li += 1
                 yield pd.DataFrame(

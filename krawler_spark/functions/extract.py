@@ -35,6 +35,7 @@ from .kanon import parse_url
 __all__ = [
     "Link",
     "extract_links",
+    "extract_hrefs",
     "extract_text",
     "harvest_links",
     "extract_links_frame",
@@ -272,6 +273,95 @@ def extract_links(html) -> List[Link]:
     ex.feed(html)
     ex.close()
     return ex.anchors + [Link(s, None, None, "src") for s in ex.srcs]
+
+
+def _fast_hrefs(s: str) -> Optional[List[Tuple[str, str]]]:
+    """(href, kind) pairs via the fast scanner, skipping anchor-text
+    assembly and Link construction — the engine's harvest uses only
+    href + kind. Same tokenization, attribute handling, ordering and
+    BAIL-OUT conditions as ``_fast_links`` (the bail gates depend only
+    on markup structure, never on what is collected); equality with
+    ``extract_links`` is fuzz-pinned by
+    ``test_extract.py::test_extract_hrefs_matches_extract_links``."""
+    from html import unescape as _unesc
+
+    low = s.lower()
+    for bad in _FAST_GATE_BAD:
+        if bad in low:
+            return None
+    anchors: List[str] = []
+    srcs: List[str] = []
+    open_anchors: List[Optional[str]] = []  # href of each open <a>, or None
+    pos = 0
+    while True:
+        lt = s.find("<", pos)
+        if lt == -1:
+            break
+        m = _FAST_TAG.match(s, lt)
+        if m is None:
+            return None  # exotic construct → full parser
+        closing, name, attrstr, selfclose = m.groups()
+        name = name.lower()
+        if name in _SKIP_TEXT_TAGS:
+            return None  # content-skipping element → full parser
+        if closing:
+            if name == "a" and open_anchors:
+                href = open_anchors.pop()
+                if href is not None:
+                    anchors.append(href)
+        else:
+            ad: dict = {}
+            apos = 0
+            for am in _FAST_ATTR.finditer(attrstr):
+                if am.start() != apos:
+                    return None  # unconsumed attr soup → full parser
+                apos = am.end()
+                k = am.group(1).lower()
+                v = am.group(2)
+                if v is None:
+                    v = ""
+                else:
+                    if v[:1] in "\"'":
+                        if len(v) < 2 or v[-1] != v[0]:
+                            return None  # unterminated quote
+                        v = v[1:-1]
+                    if "&" in v:
+                        v = _unesc(v)
+                if k not in ad:
+                    ad[k] = v
+            if attrstr[apos:].strip():
+                return None
+            if "src" in ad:
+                srcs.append(ad["src"])
+            if name == "a":
+                if selfclose:
+                    if "href" in ad:
+                        anchors.append(ad["href"])
+                else:
+                    open_anchors.append(ad.get("href"))
+        pos = m.end()
+    while open_anchors:
+        href = open_anchors.pop()
+        if href is not None:
+            anchors.append(href)
+    return [(h, "anchor") for h in anchors] + [(x, "src") for x in srcs]
+
+
+def extract_hrefs(html) -> List[Tuple[str, str]]:
+    """(href, kind) pairs in exactly ``extract_links`` order — the
+    harvest hot path, which never reads anchor text or attrs. Falls back
+    to the full tolerant parser on anything the fast scanner bails on."""
+    if html is None:
+        html = ""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    fast = _fast_hrefs(html)
+    if fast is not None:
+        return fast
+    ex = _Extractor()
+    ex.feed(html)
+    ex.close()
+    return [(a.href, "anchor") for a in ex.anchors] + [(s, "src") for s in ex.srcs]
 
 
 def extract_text(html) -> str:

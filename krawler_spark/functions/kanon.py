@@ -373,12 +373,14 @@ def split_domain(host: str) -> tuple[str, str, str]:
 
 # ---------------------------------------------------------------------------
 # Harvest fast path: the overwhelming majority of hrefs on real pages are
-# plain relative or root-relative paths ("p/1.html", "/a/b"). For those the
-# full state machine reduces to scheme://host + slash-prefixed href, so the
-# hot loop runs a single C-level regex test + concat instead of the ~6 µs
-# parser. Eligibility is CONSERVATIVE — any character class the state
-# machine treats specially (scheme/port colon, %-octets, whitespace,
-# dot-segments, protocol-relative //) falls back to the exact parser, and
+# plain relative or root-relative paths ("p/1.html", "/a/b") or simple
+# absolute links ("http://other.host/x"). For those the full state machine
+# reduces to scheme://host + slash-prefixed path, so the hot loop runs a
+# couple of C-level string tests + a concat instead of the ~6 µs parser.
+# Eligibility is CONSERVATIVE — any character class the state machine
+# treats specially (port/extra colons, %-octets, whitespace, dot-segments,
+# protocol-relative //, hostless or pathless absolutes, non-lowercase
+# scheme spellings) falls back to the exact parser, and
 # `test_kanon.py::test_fast_child_canonical_matches_parser` property-checks
 # equality against parse_url over generated hrefs + the corpus link shapes.
 # ---------------------------------------------------------------------------
@@ -390,7 +392,33 @@ def fast_child_canonical(href: str, page: ParsedUrl):
     """(canonical, host) via the fast path, or None when the href needs
     the full parser. Byte-identical to parse_url(href, page).canonical
     for every href it accepts."""
-    if not href or not page.host or _FAST_INELIGIBLE.search(href):
+    if not href:
+        return None
+    # Simple absolute http(s) URL: "scheme://host/path" where nothing
+    # after the scheme needs normalization. The state machine would
+    # lowercase the host at the first path slash and leave the path
+    # untouched (no %-octets, spaces or dot-segments can be present —
+    # _FAST_INELIGIBLE rejects them, and its ":" test also rejects
+    # ports / second schemes). Pathless ("http://h") and hostless
+    # ("http:///x") absolutes have raw-case quirk arms → full parser.
+    if href.startswith("http://"):
+        rest = href[7:]
+        scheme = "http"
+    elif href.startswith("https://"):
+        rest = href[8:]
+        scheme = "https"
+    else:
+        rest = None
+        scheme = ""
+    if rest is not None:
+        if _FAST_INELIGIBLE.search(rest):
+            return None
+        i = rest.find("/")
+        if i <= 0:
+            return None
+        host = rest[:i].lower()
+        return f"{scheme}://{host}{rest[i:]}", host
+    if not page.host or _FAST_INELIGIBLE.search(href):
         return None
     if href[0] == "/":
         if len(href) > 1 and href[1] == "/":

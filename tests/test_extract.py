@@ -198,3 +198,62 @@ def test_fast_scanner_fuzz_vs_parser():
         n_fast += 1
         assert _links_sig(fast) == _links_sig(_parser_links(html)), html
     assert n_fast >= 150
+
+
+def test_extract_hrefs_matches_extract_links():
+    """extract_hrefs (the harvest hot path) must return exactly
+    [(l.href, l.kind) for l in extract_links(h)] — corpus pages, golden
+    /edge cases, fallback triggers, and a seeded fuzz sweep."""
+    import random
+
+    from krawler_spark.functions.extract import (
+        _fast_hrefs, extract_hrefs, extract_links)
+    from krawler_spark.sources.corpus import build_page_row
+
+    def check(html):
+        assert extract_hrefs(html) == [
+            (l.href, l.kind) for l in extract_links(html)], str(html)[:200]
+
+    for i in range(80):
+        row = build_page_row(i % 7, i // 7, 7, 40, avg_links=12, n_words=30,
+                             with_redirects=(i % 3 == 0))
+        if row[2] is not None:
+            check(row[2])
+
+    cases = [
+        DOC_HTML, HARVEST_HTML, None, "", b"<a href='/b'>bytes</a>",
+        '<A HREF="/a?x=1&amp;y=2" href="/dup">A &amp; B</A>',
+        '<a href=/x disabled/><a href=/y>t</a>',
+        '<a href="/outer">o<a href="/inner">i</a>tail',
+        '<img src="/i.png"><div src=\'/d\'></div><a href="/q>g">x</a>',
+        "plain text only",
+        # fallback triggers: both paths must agree THROUGH the parser too
+        "<!-- <a href='/c'>x</a> -->",
+        "<script>var a = '<a href=/s>';</script>",
+        "<style>a{}</style><a href='/x'>y</a>",
+        "<!DOCTYPE html><a href='/d'>w</a>",
+        "data with bare < then <a href='/b'>t</a>",
+        "<a href='unterminated>x</a>",
+        '<a name="no-href">t</a><a href="/h">u</a>',
+    ]
+    for html in cases:
+        check(html)
+
+    # the two fast scanners must also bail on exactly the same inputs
+    from krawler_spark.functions.extract import _fast_links
+
+    rng = random.Random(13)
+    frags = [
+        "<a href='/p{i}'>t{i}</a>", "<a href=/u{i}>", "</a>", "text {i} ",
+        "<img src='/s{i}.png'>", "<br/>", "<div class=c{i}>", "</div>",
+        "&amp; {i}", "<a href=\"http://h{i}.com/x?a=1&amp;b=2\">l</a>",
+        "<span data-x='{i}'>s</span>", "<a name=n{i}>anon</a>",
+        "<script>x</script>", "<!--c-->", "< bare",
+    ]
+    for trial in range(300):
+        html = "".join(
+            rng.choice(frags).replace("{i}", str(rng.randrange(50)))
+            for _ in range(rng.randrange(1, 25))
+        )
+        assert (_fast_hrefs(html) is None) == (_fast_links(html) is None), html
+        check(html)

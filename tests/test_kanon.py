@@ -170,6 +170,12 @@ def test_fast_child_canonical_matches_parser():
         "a/b/c", "x.html", "/", "q?x=1&y=2", "img/5.png", "a#frag",
         "http://other.com/x", "//host/y", "./rel", "../up", "a%20b",
         "has space", "mailto:x@y", "p/./q", "p/../q", "", "a:b",
+        # absolute shapes (fast since r6) + their quirk arms (slow)
+        "http://host15.test/page_3.html", "https://A.B.Com/Q?x=1&y=2",
+        "http://h/", "http://h/a//b", "http://ho?st/x", "http://h#f/x",
+        "http://h", "https://h", "http://", "http:///x", "http://h:80/x",
+        "HTTP://h/x", "hTtps://h/x", "http://h/a%20b", "http://h/p/../q",
+        "http://h/p/./q", "http://h/a b", "http://h/x:y", "http://.../x",
     ]
     for href in fixed:
         fast = fast_child_canonical(href, page)
@@ -189,6 +195,21 @@ def test_fast_child_canonical_matches_parser():
 
     prop()
 
+    # same property over absolute-URL shapes (exercises the r6 fast arm)
+    @settings(max_examples=500, deadline=None)
+    @given(
+        st.sampled_from(["http://", "https://", "HTTP://", "http:/", "http:///"]),
+        st.text(alphabet=alphabet, min_size=0, max_size=20),
+    )
+    def prop_abs(prefix, rest):
+        href = prefix + rest
+        fast = fast_child_canonical(href, page)
+        if fast is not None:
+            child = parse_url(href, page)
+            assert fast == (child.canonical, child.host), href
+
+    prop_abs()
+
 
 def test_fast_child_canonical_covers_common_shapes():
     from krawler_spark.functions.kanon import fast_child_canonical, parse_url
@@ -196,9 +217,29 @@ def test_fast_child_canonical_covers_common_shapes():
     page = parse_url("http://www.site-3.com/p/7.html")
     assert fast_child_canonical("p/1.html", page) is not None
     assert fast_child_canonical("/p/2.html", page) is not None
-    assert fast_child_canonical("http://x.com/a", page) is None  # colon → slow
+    # simple absolutes are fast since r6 (the corpus's cross-host links)
+    assert fast_child_canonical("http://x.com/a", page) is not None
+    assert fast_child_canonical("https://X.com/a?b=c", page) is not None
+    # quirk arms stay slow: ports, pathless/hostless, %-octets, spaces
+    assert fast_child_canonical("http://x.com:80/a", page) is None
+    assert fast_child_canonical("http://x.com", page) is None
+    assert fast_child_canonical("http:///a", page) is None
+    assert fast_child_canonical("http://x.com/a%20b", page) is None
     assert fast_child_canonical("//x.com/a", page) is None
     assert fast_child_canonical("a b", page) is None
+
+
+def test_child_seq_streaming():
+    """The engine's incremental crc32 (prefix hashed once per page,
+    ':{li}' continued per link) must equal oracle.child_seq exactly."""
+    import zlib
+
+    from krawler_spark.oracle import child_seq
+
+    for url in ["http://h/x", "http://hst.example/päge?q=1", ""]:
+        base = zlib.crc32(url.encode("utf-8"))
+        for li in [0, 1, 7, 42, 1234567]:
+            assert zlib.crc32(b":%d" % li, base) == child_seq(url, li)
 
 
 def test_full_psl_long_tail():
