@@ -437,9 +437,12 @@ def q_ann_ivf(spark, sf_dir):
     # sizing; the r3 stride of 25 built N/25 centroids, making the
     # coarse-quantizer scoring quadratic-ish (10x the pair count).
     # No spread_partitions since r6: the N×C scoring moved into the
-    # cogrouped numpy candidate stage (its own 4×parallelism-keyed
-    # shuffle), so the JVM side rescoring ~1 candidate/vector no longer
-    # needs the single-file scan respread — dropping it removes an
+    # cogrouped numpy candidate stage (re-keyed by its own groupBy on a
+    # 128-value synthetic key regardless of input partitioning — the
+    # ivf_ann keys default; callers on >128-core clusters should pass
+    # spread_partitions to scale it), so the JVM side rescoring
+    # ~1 candidate/vector no longer needs the single-file scan
+    # respread at this box's shape — dropping it removes an
     # exchange + an AQE stage job (measured ~2.0 → ~1.6 s warm count()
     # at sf0.1, result rows identical; exact value-hash re-verified vs
     # the unchanged oracle at sf0.01/0.1/1.0).

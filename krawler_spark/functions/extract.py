@@ -182,6 +182,9 @@ _FAST_ATTR = re.compile(
 
 
 def _fast_links(s: str) -> Optional[List[Link]]:
+    # NOTE: _fast_hrefs below is this scanner's collect-nothing twin —
+    # any change to the gate, tokenizer or bail conditions here must be
+    # mirrored there (the fuzz test asserts output AND bail parity).
     from html import unescape as _unesc
 
     low = s.lower()

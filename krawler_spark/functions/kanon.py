@@ -426,7 +426,13 @@ def fast_child_canonical(href: str, page: ParsedUrl):
         path = href
     else:
         path = "/" + href
-    return f"{page.scheme}://{page.host}{path}", page.host
+    # Scheme is the state machine's "http" DEFAULT, not the parent's:
+    # parse_url inherits the parent scheme ONLY for protocol-relative
+    # "//" hrefs (which bail above), so a relative child of an https
+    # page canonicalizes to http:// — a reference quirk kept intact
+    # (the previous page.scheme here silently diverged under https
+    # parents; pinned by the https-parent cases in test_kanon.py).
+    return f"http://{page.host}{path}", page.host
 
 def canonicalize_series(urls, parent_urls=None):
     """pd.Series[str] (+ optional parents) → pd.Series[str] canonical forms."""

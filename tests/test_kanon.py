@@ -210,6 +210,29 @@ def test_fast_child_canonical_matches_parser():
 
     prop_abs()
 
+    # ... and under an https PARENT page: parse_url keeps its "http"
+    # scheme default for plain relative hrefs (parent scheme is
+    # inherited only by protocol-relative "//", which bails), so the
+    # fast path must NOT propagate page.scheme.
+    https_page = parse_url("https://secure.example/a/b.html")
+    for href in fixed:
+        fast = fast_child_canonical(href, https_page)
+        if fast is not None:
+            child = parse_url(href, https_page)
+            assert fast == (child.canonical, child.host), f"https parent: {href}"
+    assert fast_child_canonical("x.html", https_page) == (
+        "http://secure.example/x.html", "secure.example")
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=0, max_size=24))
+    def prop_https_parent(href):
+        fast = fast_child_canonical(href, https_page)
+        if fast is not None:
+            child = parse_url(href, https_page)
+            assert fast == (child.canonical, child.host)
+
+    prop_https_parent()
+
 
 def test_fast_child_canonical_covers_common_shapes():
     from krawler_spark.functions.kanon import fast_child_canonical, parse_url
